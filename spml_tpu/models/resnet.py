@@ -1,0 +1,148 @@
+"""ResNet backbone (deeplab-style 3x3x3 stem, dilated) in flax/NHWC.
+
+Behavioral reference: spml/models/backbones/resnet.py in twke18/SPML
+(Bottleneck:11, conv1 stem:66, ResnetBackbone:113). Key fidelity points:
+* 3-conv stem (3->64->64->128) stride 2 + maxpool 3x3/2 (replaces 7x7);
+* BatchNorm momentum 3e-4 (torch) == 0.9997 (flax convention), eps 1e-5;
+* stride on the 3x3 conv of the first block of each stage;
+* dilation mapping (resnet.py:154-159): stage dilation 1|2 -> first block
+  dilation 1, stage dilation 4 -> first block dilation 2; remaining
+  blocks use the full stage dilation;
+* r101 = [3,4,23,3], strides [1,2,1,1], dilations [1,1,2,4] -> output
+  stride 8.
+
+TPU re-design: NHWC layout (TPU-native), explicit torch-style padding so
+feature alignment matches the reference exactly, bf16 compute with fp32
+params/statistics. Cross-replica BatchNorm comes for free under GSPMD:
+batch statistics are computed over the global (sharded) batch axis and
+XLA inserts the ICI all-reduce — this replaces the reference's entire
+lib/nn/sync_batchnorm machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BN_MOMENTUM = 1.0 - 3e-4  # torch momentum 3e-4
+BN_EPS = 1e-5
+
+# torch init: normal(0, sqrt(2 / (k*k*out_ch))) == variance_scaling fan_out
+conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+    dilation: int = 1
+    use_bn: bool = True
+    relu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=not self.use_bn,
+                    kernel_init=conv_init,
+                    dtype=self.dtype, name="conv")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride, dilation) -> 1x1(x4) with projection shortcut."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvBN(self.planes, 1, dtype=self.dtype, relu=True,
+                     name="conv1")(x, train)
+        out = ConvBN(self.planes, 3, stride=self.stride,
+                     dilation=self.dilation, dtype=self.dtype, relu=True,
+                     name="conv2")(out, train)
+        out = ConvBN(self.planes * 4, 1, dtype=self.dtype,
+                     name="conv3")(out, train)
+        if self.has_downsample:
+            residual = ConvBN(self.planes * 4, 1, stride=self.stride,
+                              dtype=self.dtype, name="downsample")(x, train)
+        return nn.relu(out + residual)
+
+
+class Stem(nn.Module):
+    """3x 3x3 conv stem + maxpool (reference resnet.py:66-110)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ConvBN(64, 3, stride=2, relu=True, dtype=self.dtype,
+                   name="conv1_1")(x, train)
+        x = ConvBN(64, 3, relu=True, dtype=self.dtype,
+                   name="conv1_2")(x, train)
+        x = ConvBN(128, 3, relu=True, dtype=self.dtype,
+                   name="conv1_3")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
+        return x
+
+
+class Stage(nn.Module):
+    planes: int
+    blocks: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # reference resnet.py:154-159 — first block gets reduced dilation
+        first_dil = 1 if self.dilation in (1, 2) else 2
+        in_ch = x.shape[-1]
+        x = Bottleneck(self.planes, self.stride, first_dil,
+                       has_downsample=(self.stride != 1
+                                       or in_ch != self.planes * 4),
+                       dtype=self.dtype, name="block0")(x, train)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, self.dilation,
+                           dtype=self.dtype, name=f"block{i}")(x, train)
+        return x
+
+
+class ResnetBackbone(nn.Module):
+    """Returns (res2, res3, res4, res5) feature maps, NHWC."""
+    blocks: Sequence[int]
+    strides: Sequence[int] = (1, 2, 1, 1)
+    dilations: Sequence[int] = (1, 1, 2, 4)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Stem(dtype=self.dtype, name="stem")(x, train)
+        res2 = Stage(64, self.blocks[0], self.strides[0], self.dilations[0],
+                     dtype=self.dtype, name="res2")(x, train)
+        res3 = Stage(128, self.blocks[1], self.strides[1], self.dilations[1],
+                     dtype=self.dtype, name="res3")(res2, train)
+        res4 = Stage(256, self.blocks[2], self.strides[2], self.dilations[2],
+                     dtype=self.dtype, name="res4")(res3, train)
+        res5 = Stage(512, self.blocks[3], self.strides[3], self.dilations[3],
+                     dtype=self.dtype, name="res5")(res4, train)
+        return res2, res3, res4, res5
+
+
+RESNET_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
