@@ -1,0 +1,96 @@
+"""Headline benchmark: SPML train-step throughput (imgs/sec/chip).
+
+Flagship config = the reference's VOC scribble recipe
+(bashscripts/voc12/train_spml_scribble.sh:14-44 in twke18/SPML):
+ResNet-101 DeepLab, dim 64, crop 512, batch 4/chip, 6x6 k-means x10,
+memory bank 2, sem_ann+sem_occ+img_sim losses. The reference publishes
+no throughput numbers (BASELINE.md), so vs_baseline is null.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spml_tpu.config import load_config
+    from spml_tpu.parallel import mesh as mesh_lib
+    from spml_tpu.train import step as step_lib
+
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
+        if "--batch" in sys.argv else 4
+    crop = int(sys.argv[sys.argv.index("--crop") + 1]) \
+        if "--crop" in sys.argv else 512
+
+    cfg = load_config(overrides={
+        "network": {"backbone_types": "panoptic_deeplab_101",
+                    "embedding_dim": 64,
+                    "kmeans_num_clusters": [6, 6],
+                    "kmeans_iterations": 10},
+        "dataset": {"num_classes": 21},
+        "train": {"batch_size": batch, "crop_size": [crop, crop],
+                  "memory_bank_size": 2, "max_iteration": 30000,
+                  "warmup_iteration": 100, "base_lr": 3e-3,
+                  "sem_ann_concentration": 6.0,
+                  "sem_occ_concentration": 12.0,
+                  "img_sim_concentration": 16.0,
+                  "sem_ann_loss_weight": 1.0,
+                  "sem_occ_loss_weight": 0.5,
+                  "img_sim_loss_weight": 0.1},
+        "tpu": {"segment_capacity": 256, "compute_dtype": "bfloat16"},
+    })
+
+    n_dev = 1
+    mesh = mesh_lib.make_mesh(num_devices=n_dev)
+    b_global = batch * n_dev
+
+    rng = np.random.RandomState(0)
+    data = {
+        "image": jnp.asarray(rng.randn(b_global, crop, crop, 3),
+                             jnp.float32),
+        "semantic_label": jnp.asarray(
+            rng.randint(0, 21, (b_global, crop, crop)), jnp.int32),
+        "instance_label": jnp.asarray(
+            rng.randint(0, 64, (b_global, crop, crop)), jnp.int32),
+        "semantic_tag": jnp.asarray(rng.rand(b_global, 256) > 0.8,
+                                    jnp.int32),
+    }
+
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0),
+                                jnp.zeros((b_global, crop, crop, 3)))
+    state = mesh_lib.device_put_replicated(state, mesh)
+    data = mesh_lib.device_put_batch(data, mesh)
+    train_step = mesh_lib.shard_train_step(
+        step_lib.make_train_step(cfg), mesh)
+
+    # warmup (compile + 2 steps)
+    for _ in range(3):
+        state, metrics = train_step(state, data)
+    jax.block_until_ready(metrics)
+    assert np.isfinite(float(metrics["loss"])), "non-finite loss"
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, data)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = b_global * iters / dt / n_dev
+    print(json.dumps({
+        "metric": "spml_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

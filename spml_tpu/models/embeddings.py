@@ -111,6 +111,7 @@ def build_embedding_model(backbone_types: str, embedding_dim: int,
     table = {
         "panoptic_deeplab_101": dict(depth=101, head="aspp"),
         "panoptic_deeplab_50": dict(depth=50, head="aspp"),
+        "panoptic_deeplab_10": dict(depth=10, head="aspp"),  # debug/tests
         "panoptic_pspnet_101": dict(depth=101, head="pspp"),
         "panoptic_pspnet_50": dict(depth=50, head="pspp"),
         "panoptic_pspnet_101_densepose": dict(

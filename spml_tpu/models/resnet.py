@@ -145,4 +145,8 @@ class ResnetBackbone(nn.Module):
         return res2, res3, res4, res5
 
 
-RESNET_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+RESNET_DEPTHS = {
+    10: (1, 1, 1, 1),  # debug/test-only tiny variant
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}

@@ -1,0 +1,2 @@
+from spml_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                    replicated_sharding, shard_train_step)

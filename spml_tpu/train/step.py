@@ -1,0 +1,304 @@
+"""The SPML train step: one jit-compiled SPMD program.
+
+Behavioral reference in twke18/SPML — the whole of
+pyscripts/train/train.py:154-293 plus
+spml/models/predictions/segsort_softmax.py:103-242:
+embedding forward -> per-image vMF k-means -> global prototype gather ->
+(CE + SegSort sem_ann) + SetSegSort sem_occ + per-image img_sim losses
+-> backward -> custom SGD -> memory-bank FIFO.
+
+TPU re-design (one jit, no DataParallel):
+* the global batch is an array sharded over Mesh('data'); XLA inserts
+  the all-gathers/all-reduces that replace the reference's
+  gather_clustering_and_update_prototypes (models/utils.py:41-131),
+  cross-GPU tag gather, loss gather, and SyncBN master/slave traffic;
+* k-means cluster assignment runs under stop_gradient (the reference's
+  assignments carry no gradient either — argmax indices), so the
+  backward pass never revisits the clustering loop;
+* prototypes stay fixed-capacity [B, P] with validity masks — see
+  spml_tpu/ops/kmeans.py for the equivalence argument.
+
+Known deliberate deviation: the reference averages each loss per GPU
+then means over GPUs (train.py:211-219); we take the masked mean over
+all pixels of the global batch (equal weighting in the B -> inf limit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spml_tpu.models.embeddings import ClassifierHead, build_embedding_model
+from spml_tpu.models.spp import resize_bilinear
+from spml_tpu.ops import common, kmeans, knn, losses
+from spml_tpu.train import optim
+from spml_tpu.train.state import MemoryBank, TrainState
+
+
+def build_models(config):
+    dtype = (jnp.bfloat16 if config.tpu.compute_dtype == "bfloat16"
+             else jnp.float32)
+    emb_model = build_embedding_model(config.network.backbone_types,
+                                      config.network.embedding_dim,
+                                      dtype=dtype)
+    cls_model = ClassifierHead(num_classes=config.dataset.num_classes,
+                               hidden_dim=config.network.embedding_dim * 2,
+                               dropout_rate=0.75, dtype=dtype)
+    return emb_model, cls_model
+
+
+def loc_feature_dim(config) -> int:
+    return 5 if "densepose" in config.network.backbone_types else 2
+
+
+def init_state(config, rng, sample_image) -> TrainState:
+    """Initialize parameters, optimizer and memory bank.
+
+    sample_image: [B_global, H, W, 3] — defines the static shapes.
+    """
+    emb_model, cls_model = build_models(config)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    evars = emb_model.init(k1, sample_image[:1], train=False)
+    h = sample_image.shape[1] // 4
+    w = sample_image.shape[2] // 4
+    dim = config.network.embedding_dim
+    cvars = cls_model.init(k2, jnp.zeros((1, h, w, dim)), train=False)
+
+    params = {"embedding": evars["params"], "prediction": cvars["params"]}
+    batch_stats = {"embedding": evars["batch_stats"],
+                   "prediction": cvars["batch_stats"]}
+    tx = optim.make_optimizer(params, config.train)
+    opt_state = tx.init(params)
+
+    b_global = sample_image.shape[0]
+    memory = MemoryBank.create(
+        max(config.train.memory_bank_size, 1),
+        b_global * config.tpu.segment_capacity,
+        dim, loc_feature_dim(config), config.tpu.tag_width)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      memory=memory, rng=k3)
+
+
+def _cross_entropy(logits, labels, num_classes, ignore_index):
+    """Mean softmax CE over non-ignored pixels (labels >= num_classes are
+    ignored, segsort_softmax.py:122-131)."""
+    valid = labels < num_classes
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    m = valid.astype(jnp.float32)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_train_step(config, emb_model=None, cls_model=None):
+    """Returns train_step(state, batch) -> (state, metrics); jit/shard it
+    at the call site."""
+    if emb_model is None or cls_model is None:
+        emb_model, cls_model = build_models(config)
+
+    C = config.dataset.num_classes
+    P = config.tpu.segment_capacity
+    ignore = config.dataset.semantic_ignore_index
+    n_clusters = tuple(config.network.kmeans_num_clusters)
+    km_iters = config.network.kmeans_iterations
+    tag_w = config.tpu.tag_width
+    mem_size = config.train.memory_bank_size
+    tcfg = config.train
+    use_sem_ann = tcfg.sem_ann_loss_types != "none"
+    use_sem_occ = tcfg.sem_occ_loss_types != "none"
+    use_img_sim = tcfg.img_sim_loss_types != "none"
+    use_feat_aff = tcfg.feat_aff_loss_types != "none"
+    densepose = "densepose" in config.network.backbone_types
+    tx = None  # built lazily against the param tree
+
+    schedule = optim.make_schedule(tcfg)
+
+    def forward_and_losses(params, batch_stats, batch, rng):
+        images = batch["image"]
+        B = images.shape[0]
+
+        (emb, loc), emb_mut = emb_model.apply(
+            {"params": params["embedding"],
+             "batch_stats": batch_stats["embedding"]},
+            images, train=True, mutable=["batch_stats"])
+
+        h, w = emb.shape[1], emb.shape[2]
+        N = h * w
+        D = emb.shape[-1]
+        sem = common.resize_labels(batch["semantic_label"], (h, w))
+        inst = common.resize_labels(batch["instance_label"], (h, w))
+
+        # ---- clustering (no gradient through assignments) ----
+        segs, _, _ = kmeans.segment_batch(
+            jax.lax.stop_gradient(emb), loc, sem, inst,
+            n_clusters, P, km_iters, ignore,
+            label_cap=config.tpu.label_cap)
+
+        # ---- differentiable pixel embeddings & prototypes ----
+        emb_flat = common.normalize_embedding(
+            emb.astype(jnp.float32)).reshape(B, N, D)
+        loc_flat = loc.reshape(B, N, -1)
+        if densepose:
+            # densepose variant squeezes embedding magnitude
+            # (resnet_pspnet_densepose.py:141-154)
+            emb_loc = common.normalize_embedding(
+                jnp.concatenate([emb_flat * 0.1, loc_flat], axis=-1))
+        else:
+            emb_loc = common.normalize_embedding(
+                jnp.concatenate([emb_flat, loc_flat], axis=-1))
+
+        weights = segs.pixel_valid.astype(jnp.float32)
+        protos = jax.vmap(
+            lambda e, s, ww: kmeans.calculate_prototypes_from_labels(
+                e, s, P, ww))(emb_flat, segs.pixel_segment_ids, weights)
+        protos_loc = jax.vmap(
+            lambda e, s, ww: kmeans.calculate_prototypes_from_labels(
+                e, s, P, ww))(emb_loc, segs.pixel_segment_ids, weights)
+
+        img_idx = jnp.arange(B, dtype=jnp.int32)
+        proto_sem = segs.segment_semantic.reshape(-1)
+        proto_inst = segs.segment_instance.reshape(-1)
+        proto_batch = jnp.repeat(img_idx, P)
+        proto_valid = segs.segment_valid.reshape(-1)
+        proto_tag = jnp.repeat(batch["semantic_tag"], P, axis=0)  # [B*P, T]
+
+        cur = dict(prototype=protos.reshape(B * P, D),
+                   prototype_with_loc=protos_loc.reshape(B * P, -1),
+                   semantic_label=proto_sem, instance_label=proto_inst,
+                   batch_index=proto_batch, tag=proto_tag, valid=proto_valid)
+
+        # ---- concat memory bank (stop-gradient snapshots) ----
+        memory = batch["memory"]
+        if mem_size > 0:
+            all_protos = jnp.concatenate(
+                [cur["prototype"], memory.prototype.reshape(-1, D)], 0)
+            all_sem = jnp.concatenate(
+                [proto_sem, memory.semantic_label.reshape(-1)], 0)
+            all_valid = jnp.concatenate(
+                [proto_valid, memory.valid.reshape(-1)], 0)
+            all_tag = jnp.concatenate(
+                [proto_tag, memory.tag.reshape(-1, tag_w)], 0)
+        else:
+            all_protos, all_sem = cur["prototype"], proto_sem
+            all_valid, all_tag = proto_valid, proto_tag
+
+        pix_sem = sem.reshape(-1)
+        pix_own = (segs.pixel_segment_ids
+                   + img_idx[:, None] * P).reshape(-1)
+        pix_valid = segs.pixel_valid.reshape(-1)
+        pix_tag = jnp.repeat(batch["semantic_tag"], N, axis=0)
+
+        metrics = {}
+        total = 0.0
+
+        # ---- semantic annotation: CE + SegSort ----
+        cls_in = jax.lax.stop_gradient(
+            common.normalize_embedding(emb.astype(jnp.float32)))
+        logits, cls_mut = cls_model.apply(
+            {"params": params["prediction"],
+             "batch_stats": batch_stats["prediction"]},
+            cls_in, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        logits_up = resize_bilinear(
+            logits, (images.shape[1], images.shape[2]))
+        ce = _cross_entropy(logits_up, batch["semantic_label"], C, ignore)
+
+        if use_sem_ann:
+            ann = losses.segsort_loss(
+                emb_flat.reshape(-1, D), pix_sem, pix_own,
+                all_protos, all_sem, tcfg.sem_ann_concentration,
+                pix_valid & (pix_sem < C), all_valid & (all_sem < C))
+            sem_ann = (ce + ann) * tcfg.sem_ann_loss_weight
+        else:
+            sem_ann = ce
+        metrics["sem_ann_loss"] = sem_ann
+        total = total + sem_ann
+
+        # ---- semantic co-occurrence (dataset tags) ----
+        if use_sem_occ:
+            occ = losses.set_segsort_loss(
+                emb_flat.reshape(-1, D), pix_tag[:, 1:C], pix_own,
+                all_protos, all_tag[:, 1:C], tcfg.sem_occ_concentration,
+                pix_valid, all_valid)
+            occ = occ * tcfg.sem_occ_loss_weight
+            metrics["sem_occ_loss"] = occ
+            total = total + occ
+
+        # ---- low-level image similarity (per image) ----
+        if use_img_sim:
+            def one_image(e, il, own, pl, p_inst, p_valid, p_mask):
+                return losses.segsort_loss(
+                    e, il, own, pl, p_inst,
+                    tcfg.img_sim_concentration, p_mask, p_valid)
+
+            per_img = jax.vmap(one_image)(
+                emb_loc, inst.reshape(B, N), segs.pixel_segment_ids,
+                protos_loc, segs.segment_instance, segs.segment_valid,
+                segs.pixel_valid)
+            has_any = jnp.any(segs.pixel_valid, axis=-1)
+            img_sim = (jnp.sum(per_img * has_any)
+                       / jnp.maximum(jnp.sum(has_any), 1.0))
+            img_sim = img_sim * tcfg.img_sim_loss_weight
+            metrics["img_sim_loss"] = img_sim
+            total = total + img_sim
+
+        # ---- feature affinity (densepose: NN-propagated tags) ----
+        if use_feat_aff:
+            nn_tags = knn.nearest_neighbor_multiset_labels(
+                jax.lax.stop_gradient(cur["prototype_with_loc"]),
+                jax.lax.stop_gradient(cur["prototype_with_loc"]),
+                proto_sem, proto_batch, proto_batch, C,
+                top_k=1, threshold=0.95, prototype_mask=proto_valid)
+            # pixels inherit their segment's propagated tag set
+            pix_nn_tags = jnp.take(nn_tags, pix_own, axis=0)
+            aff = losses.set_segsort_loss(
+                emb_flat.reshape(-1, D), pix_nn_tags, pix_own,
+                cur["prototype"], nn_tags, tcfg.feat_aff_concentration,
+                pix_valid, proto_valid)
+            aff = aff * tcfg.feat_aff_loss_weight
+            metrics["feat_aff_loss"] = aff
+            total = total + aff
+
+        # ---- top-5 prototype retrieval accuracy ----
+        acc, _ = knn.top_k_ranking(all_protos, all_sem, all_protos,
+                                   all_sem, 5, all_valid, all_valid)
+        metrics["accuracy"] = jax.lax.stop_gradient(acc)
+        metrics["num_segments"] = jnp.sum(proto_valid.astype(jnp.int32))
+
+        new_stats = {"embedding": emb_mut["batch_stats"],
+                     "prediction": cls_mut["batch_stats"]}
+        return total, (metrics, new_stats, cur)
+
+    def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
+        rng, step_rng = jax.random.split(state.rng)
+        batch = dict(batch, memory=state.memory)
+        grad_fn = jax.value_and_grad(forward_and_losses, has_aux=True)
+        (total, (metrics, new_stats, cur)), grads = grad_fn(
+            state.params, state.batch_stats, batch, step_rng)
+
+        nonlocal tx
+        if tx is None:
+            tx = optim.make_optimizer(state.params, tcfg, schedule)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        b_global = batch["image"].shape[0]
+        new_memory = state.memory.push(
+            jax.lax.stop_gradient(cur["prototype"]),
+            jax.lax.stop_gradient(cur["prototype_with_loc"]),
+            cur["semantic_label"], cur["instance_label"],
+            cur["batch_index"], cur["tag"], cur["valid"], b_global)
+
+        metrics["loss"] = total
+        metrics["learning_rate"] = schedule(state.step)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt,
+                               memory=new_memory, rng=rng)
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,141 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spml_tpu.config import load_config
+from spml_tpu.parallel import mesh as mesh_lib
+from spml_tpu.train import optim, step as step_lib
+
+
+def _tiny_config(batch=2, crop=32, mem=1):
+    return load_config(overrides={
+        "network": {"backbone_types": "panoptic_deeplab_10",
+                    "embedding_dim": 8, "kmeans_num_clusters": [2, 2],
+                    "kmeans_iterations": 3},
+        "dataset": {"num_classes": 4},
+        "train": {"batch_size": batch, "crop_size": [crop, crop],
+                  "memory_bank_size": mem, "max_iteration": 100,
+                  "warmup_iteration": 10, "base_lr": 3e-3},
+        "tpu": {"segment_capacity": 32, "compute_dtype": "float32"},
+    })
+
+
+def _batch(rng, b, crop, c=4):
+    return {
+        "image": jnp.asarray(rng.randn(b, crop, crop, 3), jnp.float32),
+        "semantic_label": jnp.asarray(
+            rng.randint(0, c + 1, (b, crop, crop)), jnp.int32),
+        "instance_label": jnp.asarray(
+            rng.randint(0, 4, (b, crop, crop)), jnp.int32),
+        "semantic_tag": jnp.asarray(rng.rand(b, 256) > 0.6, jnp.int32),
+    }
+
+
+def test_lr_poly_matches_reference_formula():
+    # reference spml/utils/general/train.py:8-27
+    base, max_iter, warm = 3e-3, 30000, 100
+    sched = optim.lr_poly(base, max_iter, warm)
+    for it in [0, 10, 50, 99, 100, 1000, 29999]:
+        if it < warm:
+            alpha = it / warm
+            want = min(base * (0.1 * (1 - alpha) + alpha),
+                       base * (1 - it / max_iter) ** 0.9)
+        else:
+            want = base * (1 - it / max_iter) ** 0.9
+        # fp32 cancellation in (1 - it/max_iter) at the last steps
+        np.testing.assert_allclose(float(sched(it)), want, rtol=1e-3)
+
+
+def test_param_group_labels():
+    lab = optim.label_param
+    assert lab(("embedding", "resnet_backbone", "stem", "conv1_1", "conv",
+                "kernel")) == optim.FROZEN
+    assert lab(("embedding", "resnet_backbone", "res2", "block0", "conv1",
+                "conv", "kernel")) == optim.FROZEN
+    assert lab(("embedding", "resnet_backbone", "res3", "block0", "conv1",
+                "conv", "kernel")) == optim.BACKBONE_W
+    assert lab(("embedding", "resnet_backbone", "res5", "block0", "conv2",
+                "bn", "scale")) == optim.BACKBONE_W
+    assert lab(("embedding", "resnet_backbone", "res4", "block1", "conv3",
+                "bn", "bias")) == optim.BACKBONE_B
+    assert lab(("embedding", "aspp", "aspp_1", "kernel")) == optim.HEAD_W
+    assert lab(("embedding", "aspp", "aspp_4", "bias")) == optim.HEAD_B
+    assert lab(("prediction", "conv2", "bias")) == optim.HEAD_B
+
+
+def test_frozen_params_do_not_move():
+    cfg = _tiny_config()
+    rng = np.random.RandomState(0)
+    img = jnp.zeros((2, 32, 32, 3))
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    step = jax.jit(step_lib.make_train_step(cfg))
+    p0 = state.params
+    state, metrics = step(state, _batch(rng, 2, 32))
+    assert np.isfinite(float(metrics["loss"]))
+    stem0 = p0["embedding"]["resnet_backbone"]["stem"]
+    stem1 = state.params["embedding"]["resnet_backbone"]["stem"]
+    for a, b in zip(jax.tree.leaves(stem0), jax.tree.leaves(stem1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # trainable parts DID move
+    r3_0 = jax.tree.leaves(p0["embedding"]["resnet_backbone"]["res3"])
+    r3_1 = jax.tree.leaves(
+        state.params["embedding"]["resnet_backbone"]["res3"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(r3_0, r3_1))
+
+
+def test_memory_bank_fifo_and_batch_offsets():
+    cfg = _tiny_config(mem=2)
+    rng = np.random.RandomState(1)
+    img = jnp.zeros((2, 32, 32, 3))
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    step = jax.jit(step_lib.make_train_step(cfg))
+    assert not bool(state.memory.valid.any())
+    state, _ = step(state, _batch(rng, 2, 32))
+    m1 = state.memory
+    # newest slot is the last; it must hold this step's prototypes
+    assert bool(m1.valid[-1].any())
+    assert not bool(m1.valid[0].any())
+    # batch indices offset by one global batch (B=2)
+    newest_idx = np.asarray(m1.batch_index[-1])
+    valid = np.asarray(m1.valid[-1])
+    assert set(np.unique(newest_idx[valid])) <= {2, 3}
+    state, _ = step(state, _batch(rng, 2, 32))
+    m2 = state.memory
+    # previous entry aged: offsets grew by another global batch
+    aged = np.asarray(m2.batch_index[0])
+    assert set(np.unique(aged[np.asarray(m2.valid[0])])) <= {4, 5}
+
+
+@pytest.mark.slow
+def test_multichip_equals_singlechip():
+    """The SyncBN-suite idea from the reference
+    (lib/nn/sync_batchnorm/tests/test_sync_batchnorm.py): N-device
+    sharded execution must numerically match the 1-device oracle on the
+    same global batch."""
+    cfg = _tiny_config(batch=8, crop=32)
+    rng = np.random.RandomState(2)
+    batch = _batch(rng, 8, 32)
+    img = jnp.zeros((8, 32, 32, 3))
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = mesh_lib.make_mesh(num_devices=n_dev,
+                                  devices=jax.devices("cpu"))
+        state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+        state = mesh_lib.device_put_replicated(state, mesh)
+        data = mesh_lib.device_put_batch(dict(batch), mesh)
+        step = mesh_lib.shard_train_step(
+            step_lib.make_train_step(cfg), mesh)
+        state, metrics = step(state, data)
+        results[n_dev] = (jax.device_get(state.params),
+                          {k: float(v) for k, v in metrics.items()})
+
+    p1, m1 = results[1]
+    p8, m8 = results[8]
+    np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=1e-4)
+    np.testing.assert_allclose(m1["num_segments"], m8["num_segments"])
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
