@@ -1,0 +1,210 @@
+"""Inference engine: sliding-window embeddings, per-image clustering,
+prototype building and KNN semantic prediction.
+
+Behavioral reference in twke18/SPML:
+* pyscripts/inference/inference.py:114-228 — resize larger side to
+  test.image_size, pad to crop grid, sliding-window
+  generate_embeddings(resize_as_input=True) with overlap averaging of
+  L2-normalized embeddings, fake zero labels padded with ignore, k-means,
+  then Segsort.predictions;
+* spml/models/predictions/segsort.py:68-125 — per-cluster prototypes,
+  top-20 KNN against the memory bank, majority vote, scatter to pixels
+  (the reference's 10-way chunking is a GPU memory hack; one MXU matmul
+  here);
+* pyscripts/inference/prototype.py:150-227 — same pipeline on the train
+  split with majority ground-truth labels -> {prototype,prototype_label}
+  .npy memory banks.
+
+TPU notes: each distinct crop shape compiles once (crop size is fixed by
+config); the stitched map's padded shape is a multiple of the stride so
+the cluster/predict step compiles per bucket, not per image.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spml_tpu.data import transforms
+from spml_tpu.ops import common, kmeans, knn
+
+
+def patch_ends(pad: int, crop: int, stride: int) -> np.ndarray:
+    """End indices of sliding-window patches (inference.py:164-171)."""
+    n = int(math.ceil((pad - crop) / stride)) + 1
+    return np.linspace(crop, pad, n).astype(np.int32)
+
+
+class InferenceEngine:
+    def __init__(self, config, emb_model, variables):
+        self.config = config
+        self.emb_model = emb_model
+        self.variables = variables
+        self.crop = tuple(config.test.crop_size)
+        self.stride = tuple(config.test.stride)
+        self._forward = jax.jit(self._forward_impl)
+        self._cluster_predict = jax.jit(
+            self._cluster_predict_impl, static_argnames=("num_classes",))
+
+    # -- per-crop forward (compiles once per crop shape) --
+    def _forward_impl(self, image):
+        emb, _ = self.emb_model.apply(self.variables, image, train=False,
+                                      resize_as_input=True)
+        return common.normalize_embedding(emb.astype(jnp.float32))
+
+    def stitched_embeddings(self, image: np.ndarray) -> np.ndarray:
+        """image: [H, W, 3] already resized/normalized; returns
+        overlap-averaged normalized embeddings [Hp, Wp, D] on the padded
+        crop grid."""
+        crop_h, crop_w = self.crop
+        img = transforms.resize_with_pad(image, self.crop, 0.0)
+        pad_h, pad_w = img.shape[:2]
+        ends_h = patch_ends(pad_h, crop_h, self.stride[0])
+        ends_w = patch_ends(pad_w, crop_w, self.stride[1])
+
+        total = None
+        counts = np.zeros((pad_h, pad_w, 1), np.float32)
+        for eh in ends_h:
+            for ew in ends_w:
+                sh, sw = eh - crop_h, ew - crop_w
+                patch = img[sh:eh, sw:ew]
+                emb = np.asarray(self._forward(patch[None]))[0]
+                if total is None:
+                    total = np.zeros((pad_h, pad_w, emb.shape[-1]),
+                                     np.float32)
+                total[sh:eh, sw:ew] += emb
+                counts[sh:eh, sw:ew] += 1
+        return total / counts
+
+    # -- clustering + prediction on the stitched map --
+    def _cluster_predict_impl(self, emb, sem_label, inst_label,
+                              memory_protos, memory_labels, memory_valid,
+                              num_classes: int):
+        h, w, d = emb.shape
+        cfg = self.config
+        k_clusters = tuple(cfg.network.kmeans_num_clusters)
+        # fake zero labels -> segments == k-means clusters, so the exact
+        # capacity is the cluster-grid size
+        capacity = int(np.prod(k_clusters))
+        # fake zero sem/inst labels outside: clustering ignores padding
+        segs, emb_flat, _ = kmeans.segment_batch(
+            emb[None], jnp.broadcast_to(
+                common.generate_location_features(h, w) - 0.5,
+                (1, h, w, 2)),
+            sem_label[None], inst_label[None],
+            k_clusters, capacity, cfg.network.kmeans_iterations,
+            cfg.dataset.semantic_ignore_index,
+            label_cap=cfg.tpu.label_cap)
+        seg_ids = segs.pixel_segment_ids[0]
+        pix_valid = segs.pixel_valid[0]
+        protos = kmeans.calculate_prototypes_from_labels(
+            emb_flat[0], seg_ids, capacity,
+            pix_valid.astype(jnp.float32))
+        seg_valid = segs.segment_valid[0]
+
+        topk = knn.top_k_ranking(
+            protos, jnp.zeros((capacity,), jnp.int32),
+            memory_protos, memory_labels, 20,
+            seg_valid, memory_valid)[1]
+        majority = knn.majority_label_from_topk(topk, num_classes)
+        pixel_pred = jnp.take(majority, seg_ids).reshape(h, w)
+        return pixel_pred, seg_ids.reshape(h, w), protos, seg_valid, topk
+
+    def predict_semantic(self, image: np.ndarray, memory_protos,
+                         memory_labels, memory_valid) -> np.ndarray:
+        """Full single-scale KNN inference for one (resized) image.
+        Returns [H, W] int32 class prediction at the image's resolution."""
+        emb_map = self.stitched_embeddings(image)
+        pad_h, pad_w = emb_map.shape[:2]
+        h, w = image.shape[:2]
+        sem = np.zeros((pad_h, pad_w), np.int32)
+        sem[h:, :] = self.config.dataset.semantic_ignore_index
+        sem[:, w:] = self.config.dataset.semantic_ignore_index
+        inst = np.zeros((pad_h, pad_w), np.int32)
+        pred, _, _, _, _ = self._cluster_predict(
+            jnp.asarray(emb_map), jnp.asarray(sem), jnp.asarray(inst),
+            memory_protos, memory_labels, memory_valid,
+            num_classes=self.config.dataset.num_classes)
+        return np.asarray(pred)[:h, :w]
+
+    def predict_topk_probs(self, image: np.ndarray, memory_protos,
+                           memory_labels, memory_valid) -> np.ndarray:
+        """[H, W, C] probabilities from averaging one-hot top-20 labels
+        (inference_msc.py:221-240); used by MSC / CRF variants."""
+        c = self.config.dataset.num_classes
+        emb_map = self.stitched_embeddings(image)
+        pad_h, pad_w = emb_map.shape[:2]
+        h, w = image.shape[:2]
+        sem = np.zeros((pad_h, pad_w), np.int32)
+        sem[h:, :] = self.config.dataset.semantic_ignore_index
+        sem[:, w:] = self.config.dataset.semantic_ignore_index
+        inst = np.zeros((pad_h, pad_w), np.int32)
+        _, seg_map, _, _, topk = self._cluster_predict(
+            jnp.asarray(emb_map), jnp.asarray(sem), jnp.asarray(inst),
+            memory_protos, memory_labels, memory_valid,
+            num_classes=c)
+        topk = np.asarray(topk)          # [capacity, 20]
+        seg_map = np.asarray(seg_map)    # [Hp, Wp]
+        onehot = np.zeros((topk.shape[0], c), np.float32)
+        for j in range(topk.shape[1]):
+            np.add.at(onehot, (np.arange(topk.shape[0]), topk[:, j]), 1.0)
+        probs = onehot / topk.shape[1]
+        return probs[seg_map][:h, :w]
+
+    def build_prototypes(self, image: np.ndarray,
+                         semantic_label: np.ndarray):
+        """Memory-bank entry for one train image: k-means prototypes +
+        majority ground-truth label (prototype.py:194-227).
+
+        semantic_label: [H, W] at the image's (resized) resolution.
+        Returns (prototypes [K, D], labels [K], valid [K]).
+        """
+        emb_map = self.stitched_embeddings(image)
+        pad_h, pad_w = emb_map.shape[:2]
+        h, w = image.shape[:2]
+        # fake zero labels; padding ignored
+        sem = np.zeros((pad_h, pad_w), np.int32)
+        sem[h:, :] = self.config.dataset.semantic_ignore_index
+        sem[:, w:] = self.config.dataset.semantic_ignore_index
+        inst = np.zeros((pad_h, pad_w), np.int32)
+        dummy_mem = jnp.zeros((20, emb_map.shape[-1]), jnp.float32)
+        _, seg_map, protos, seg_valid, _ = self._cluster_predict(
+            jnp.asarray(emb_map), jnp.asarray(sem), jnp.asarray(inst),
+            dummy_mem, jnp.zeros((20,), jnp.int32), jnp.zeros((20,), bool),
+            num_classes=self.config.dataset.num_classes)
+
+        # majority REAL label per cluster, computed over valid pixels
+        seg_map = np.asarray(seg_map)
+        real = np.full((pad_h, pad_w),
+                       self.config.dataset.semantic_ignore_index, np.int32)
+        real[:h, :w] = semantic_label
+        k = protos.shape[0]
+        counts = np.zeros((k, 256), np.int64)
+        valid = real != self.config.dataset.semantic_ignore_index
+        np.add.at(counts, (seg_map[valid], real[valid]), 1)
+        labels = counts.argmax(axis=1).astype(np.int32)
+        return (np.asarray(protos), labels, np.asarray(seg_valid))
+
+
+def save_prototypes(path: str, prototypes: np.ndarray,
+                    labels: np.ndarray) -> None:
+    """Same npy dict layout as the reference (prototype.py:222-225)."""
+    np.save(path, {"prototype": prototypes, "prototype_label": labels})
+
+
+def load_memory_banks(memory_dir: str):
+    """Concat {prototype, prototype_label} npys
+    (spml/utils/segsort/others.py:11-41)."""
+    protos, labels = [], []
+    for name in sorted(os.listdir(memory_dir)):
+        if not name.endswith(".npy"):
+            continue
+        data = np.load(os.path.join(memory_dir, name),
+                       allow_pickle=True).item()
+        protos.append(data["prototype"])
+        labels.append(data["prototype_label"])
+    return np.concatenate(protos, 0), np.concatenate(labels, 0)

@@ -1,0 +1,61 @@
+"""Softmax-classifier inference (stage-2 models).
+
+Behavioral reference: pyscripts/inference/inference_softmax.py:115-170 in
+twke18/SPML — sliding-window over the padded image, classifier logits
+over L2-normalized embeddings upsampled to the crop size, logits SUMMED
+over overlapping patches, argmax (no count normalization: argmax is
+invariant to the positive patch counts only when counts are uniform;
+the reference sums raw logits and so do we).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spml_tpu.data import transforms
+from spml_tpu.inference.engine import patch_ends
+from spml_tpu.ops import common
+
+
+class SoftmaxInferenceEngine:
+    def __init__(self, config, emb_model, emb_vars, cls_model, cls_vars):
+        self.config = config
+        self.emb_model = emb_model
+        self.cls_model = cls_model
+        self.emb_vars = emb_vars
+        self.cls_vars = cls_vars
+        self.crop = tuple(config.test.crop_size)
+        self.stride = tuple(config.test.stride)
+        self._forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, image):
+        emb, _ = self.emb_model.apply(self.emb_vars, image, train=False,
+                                      resize_as_input=True)
+        emb = common.normalize_embedding(emb.astype(jnp.float32))
+        logits = self.cls_model.apply(self.cls_vars, emb, train=False)
+        return logits
+
+    def predict_logits(self, image: np.ndarray) -> np.ndarray:
+        """[H, W, C] summed sliding-window logits at image resolution."""
+        crop_h, crop_w = self.crop
+        img = transforms.resize_with_pad(image, self.crop, 0.0)
+        pad_h, pad_w = img.shape[:2]
+        ends_h = patch_ends(pad_h, crop_h, self.stride[0])
+        ends_w = patch_ends(pad_w, crop_w, self.stride[1])
+        c = self.config.dataset.num_classes
+        total = np.zeros((pad_h, pad_w, c), np.float32)
+        for eh in ends_h:
+            for ew in ends_w:
+                sh, sw = eh - crop_h, ew - crop_w
+                logits = np.asarray(
+                    self._forward(img[None, sh:eh, sw:ew]))[0]
+                total[sh:eh, sw:ew] += logits
+        h, w = image.shape[:2]
+        return total[:h, :w]
+
+    def predict_probs(self, image: np.ndarray) -> np.ndarray:
+        logits = self.predict_logits(image)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)

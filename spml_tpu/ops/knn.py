@@ -31,6 +31,7 @@ def top_k_ranking(embeddings: jnp.ndarray,
                           preferred_element_type=jnp.float32)
     if prototype_mask is not None:
         affinity = jnp.where(prototype_mask[None, :], affinity, NEG_INF)
+    top_k = min(top_k, prototypes.shape[0])
     _, topk_idx = jax.lax.top_k(affinity, top_k)
     topk_labels = jnp.take(prototype_labels, topk_idx)
     tp = (topk_labels == labels[:, None]).astype(jnp.float32)

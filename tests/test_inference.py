@@ -1,0 +1,141 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spml_tpu.config import load_config
+from spml_tpu.inference import engine as engine_lib
+from spml_tpu.inference import msc as msc_lib
+from spml_tpu.models.embeddings import build_embedding_model
+from spml_tpu.utils import metrics, vis
+
+
+def _engine(crop=32, stride=24, image_size=0):
+    cfg = load_config(overrides={
+        "network": {"backbone_types": "panoptic_deeplab_10",
+                    "embedding_dim": 8, "kmeans_num_clusters": [3, 3],
+                    "kmeans_iterations": 5},
+        "dataset": {"num_classes": 4},
+        "test": {"crop_size": [crop, crop], "stride": [stride, stride],
+                 "image_size": image_size},
+        "tpu": {"compute_dtype": "float32"},
+    })
+    model = build_embedding_model(cfg.network.backbone_types,
+                                  cfg.network.embedding_dim)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, crop, crop, 3)), train=False)
+    return engine_lib.InferenceEngine(cfg, model, variables), cfg
+
+
+def test_patch_ends_cover_image():
+    ends = engine_lib.patch_ends(100, 40, 30)
+    assert ends[0] == 40 and ends[-1] == 100
+    # every pixel covered
+    covered = np.zeros(100, bool)
+    for e in ends:
+        covered[e - 40:e] = True
+    assert covered.all()
+
+
+def test_sliding_window_overlap_average_is_normalized_scale():
+    eng, _ = _engine(crop=32, stride=16)
+    img = np.random.RandomState(0).randn(48, 40, 3).astype(np.float32)
+    emb = eng.stitched_embeddings(img)
+    assert emb.shape[:2] == (48, 40)
+    # overlap-averaged normalized embeddings have norm <= 1
+    norms = np.linalg.norm(emb, axis=-1)
+    assert norms.max() <= 1.0 + 1e-5
+    assert norms.min() > 0.1  # averaging similar patches shouldn't cancel
+
+
+def test_prototype_roundtrip_predicts_self(tmp_path):
+    """Build a memory bank from an image with block labels, then KNN
+    inference on the SAME image must reproduce those labels well."""
+    eng, cfg = _engine(crop=32, stride=32)
+    rng = np.random.RandomState(1)
+    img = rng.randn(32, 32, 3).astype(np.float32)
+    gt = np.zeros((32, 32), np.int32)
+    gt[:, 16:] = 1
+    protos, labels, valid = eng.build_prototypes(img, gt)
+    assert protos.shape[0] == 9  # 3x3 cluster grid
+    # save/load memory bank files; tile 20 "images" so the top-20
+    # retrieval is dominated by exact self-matches (the reference counts
+    # on a large train-split memory for the same reason)
+    for i in range(20):
+        engine_lib.save_prototypes(str(tmp_path / f"img{i}.npy"),
+                                   protos[valid], labels[valid])
+    mp, ml = engine_lib.load_memory_banks(str(tmp_path))
+    assert mp.shape[0] == 20 * int(valid.sum())
+
+    pred = eng.predict_semantic(
+        img, jnp.asarray(mp), jnp.asarray(ml),
+        jnp.ones((mp.shape[0],), bool))
+    assert pred.shape == (32, 32)
+    # prediction == per-cluster majority GT label; only the middle
+    # cluster column straddles the label boundary
+    acc = (pred == gt).mean()
+    assert acc > 0.7, f"self-retrieval accuracy too low: {acc}"
+
+
+def test_msc_probs_average():
+    eng, cfg = _engine(crop=32, stride=32)
+    rng = np.random.RandomState(2)
+    img = rng.randn(32, 32, 3).astype(np.float32)
+    gt = np.zeros((32, 32), np.int32)
+    gt[16:, :] = 2
+    protos, labels, valid = eng.build_prototypes(img, gt)
+    mp = jnp.asarray(np.tile(protos[valid], (20, 1)))
+    ml = jnp.asarray(np.tile(labels[valid], 20))
+    mv = jnp.ones((20 * int(valid.sum()),), bool)
+
+    probs = msc_lib.msc_predict_probs(
+        lambda im: eng.predict_topk_probs(im, mp, ml, mv),
+        img, scales=[0.75, 1.0], is_flip=True)
+    assert probs.shape == (32, 32, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+    acc = (probs.argmax(-1) == gt).mean()
+    assert acc > 0.7
+
+
+def test_miou_hand_computed():
+    m = metrics.MeanIoU(3)
+    pred = np.array([[0, 0], [1, 2]])
+    gt = np.array([[0, 1], [1, 255]])
+    m.update(pred, gt)
+    r = m.result()
+    # class0: tp1 fp1 fn0 -> .5 ; class1: tp1 fp0 fn1 -> .5 ; class2: 0/0+1fp -> 0
+    np.testing.assert_allclose(r["class_iou"], [0.5, 0.5, 0.0])
+    np.testing.assert_allclose(r["pixel_accuracy"], 2 / 3)
+
+
+def test_instance_weighted_iou():
+    m = metrics.InstanceWeightedIoU(2)
+    gt_sem = np.array([[1, 1, 1, 1]])
+    gt_inst = np.array([[0, 0, 1, 1]])
+    pred = np.array([[1, 1, 1, 0]])
+    m.update(pred, gt_sem, gt_inst)
+    r = m.result()
+    # inst0: inter {c0,c1}=2, union {c0,c1,c2}=3 -> 2/3
+    # inst1: inter {c2}=1, union {c0..c3}=4 -> 1/4
+    np.testing.assert_allclose(r["class_iou"][1], (2 / 3 + 1 / 4) / 2)
+
+
+def test_voc_colormap_known_values():
+    cmap = vis.voc_colormap()
+    np.testing.assert_array_equal(cmap[0], [0, 0, 0])
+    np.testing.assert_array_equal(cmap[1], [128, 0, 0])
+    np.testing.assert_array_equal(cmap[2], [0, 128, 0])
+    np.testing.assert_array_equal(cmap[15], [192, 128, 128])
+    np.testing.assert_array_equal(cmap[255], [224, 224, 192])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from spml_tpu.utils import checkpoint as ckpt
+    tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    ckpt.save(str(tmp_path / "ck"), 3, tree)
+    assert ckpt.latest_step(str(tmp_path / "ck")) == 3
+    template = jax.tree.map(jnp.zeros_like, tree)
+    restored = ckpt.restore(str(tmp_path / "ck"), template)
+    np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                  np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(restored["b"]["c"]),
+                                  np.ones((2, 2)))
