@@ -1,0 +1,41 @@
+// Permutohedral lattice for high-dimensional Gaussian filtering.
+//
+// Implements the splat/blur/slice algorithm of Adams, Baek & Davis,
+// "Fast High-Dimensional Filtering Using the Permutohedral Lattice"
+// (Eurographics 2010), as used by dense-CRF mean-field inference
+// (Krahenbuhl & Koltun, NIPS 2011). Written from the published
+// algorithm; replaces the reference implementation's pydensecrf
+// dependency (twke18/SPML requirements.txt:9, spml/models/crf.py).
+
+#pragma once
+
+#include <cstdint>
+#include <vector>
+
+namespace spml {
+
+class Permutohedral {
+ public:
+  // features: [N, d] row-major (already divided by kernel stddevs).
+  void Init(const float* features, int n, int d);
+
+  // Filters `value_size` channels: in/out are [N, value_size] row-major.
+  // Gaussian-weighted sum over all points (self included), up to a
+  // constant factor that callers cancel via normalization.
+  void Compute(const float* in, float* out, int value_size) const;
+
+  int num_lattice_points() const { return static_cast<int>(offset_count_); }
+
+ private:
+  int n_ = 0;
+  int d_ = 0;
+  // Per (point, simplex vertex): lattice point index and barycentric wt.
+  std::vector<int32_t> offsets_;     // [n, d+1]
+  std::vector<float> barycentric_;   // [n, d+1]
+  // Blur neighbor indices per axis: [d+1, M] plus/minus.
+  std::vector<int32_t> blur_plus_;
+  std::vector<int32_t> blur_minus_;
+  std::size_t offset_count_ = 0;     // M = number of occupied lattice pts
+};
+
+}  // namespace spml
