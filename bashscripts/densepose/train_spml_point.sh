@@ -1,0 +1,125 @@
+#!/bin/bash
+# SPML on DensePose (MSCOCO) with point supervision.
+#
+# Usage (from the repo root):
+#   source bashscripts/densepose/train_spml_point.sh
+#
+# Behavioral reference: twke18/SPML bashscripts/densepose/train_spml_point.sh (same stage
+# flags, env-var surface and snapshot/file layout).
+
+source bashscripts/common.sh
+
+BACKBONE_TYPES=panoptic_pspnet_101_densepose
+EMBEDDING_DIM=32
+
+PREDICTION_TYPES=segsort
+TRAIN_SPLIT=train2014
+GPUS=0
+LR_POLICY=poly
+USE_SYNCBN=true
+SNAPSHOT_STEP=45000
+MAX_ITERATION=45000
+WARMUP_ITERATION=100
+LR=3e-3
+WD=5e-4
+BATCH_SIZE=4
+CROP_SIZE=512
+MEMORY_BANK_SIZE=0
+KMEANS_ITERATIONS=10
+KMEANS_NUM_CLUSTERS=12
+SEM_ANN_LOSS_TYPES=segsort
+SEM_OCC_LOSS_TYPES=none
+IMG_SIM_LOSS_TYPES=segsort
+FEAT_AFF_LOSS_TYPES=segsort
+SEM_ANN_CONCENTRATION=6
+SEM_OCC_CONCENTRATION=0
+IMG_SIM_CONCENTRATION=16
+FEAT_AFF_CONCENTRATION=12
+SEM_ANN_LOSS_WEIGHT=1.0
+SEM_OCC_LOSS_WEIGHT=0.0
+IMG_SIM_LOSS_WEIGHT=0.1
+FEAT_AFF_LOSS_WEIGHT=0.5
+
+INFERENCE_SPLIT=minival2014
+INFERENCE_IMAGE_SIZE=640
+INFERENCE_CROP_SIZE_H=640
+INFERENCE_CROP_SIZE_W=640
+INFERENCE_STRIDE=640
+
+SNAPSHOT_DIR=snapshots/densepose_point/${BACKBONE_TYPES}_${PREDICTION_TYPES}/p${CROP_SIZE}_dim${EMBEDDING_DIM}_nc${KMEANS_NUM_CLUSTERS}_bs${BATCH_SIZE}_it${MAX_ITERATION}
+echo ${SNAPSHOT_DIR}
+
+export PYTHONPATH=`pwd`:$PYTHONPATH
+
+DATAROOT=${DATAROOT:-/data/coco_densepose}
+PRETRAINED=${PRETRAINED:-snapshots/imagenet/trained/resnet-101-cuhk.pth}
+TRAIN_DATA_LIST=datasets/densepose/point_${TRAIN_SPLIT}_d4_pmi.txt
+TEST_DATA_LIST=datasets/densepose/panoptic_${INFERENCE_SPLIT}.txt
+MEMORY_DATA_LIST=datasets/densepose/panoptic_${TRAIN_SPLIT}_pmi.txt
+
+IS_CONFIG_EMB=${IS_CONFIG_EMB:-1}
+IS_TRAIN_EMB=${IS_TRAIN_EMB:-1}
+IS_CONFIG_CLASSIFIER=${IS_CONFIG_CLASSIFIER:-1}
+IS_ANNOTATION_1=${IS_ANNOTATION_1:-1}
+IS_TRAIN_CLASSIFIER_1=${IS_TRAIN_CLASSIFIER_1:-1}
+IS_INFERENCE_CLASSIFIER_1=${IS_INFERENCE_CLASSIFIER_1:-1}
+IS_BENCHMARK_CLASSIFIER_1=${IS_BENCHMARK_CLASSIFIER_1:-1}
+
+if [ ${IS_CONFIG_EMB} -eq 1 ]; then
+  render_config configs/densepose_template.yaml ${SNAPSHOT_DIR}/config_emb.yaml
+fi
+
+if [ ${IS_TRAIN_EMB} -eq 1 ]; then
+  python3 pyscripts/train/train_densepose.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/inference/prototype_msc.py     --data_dir ${DATAROOT}     --data_list ${MEMORY_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}     --kmeans_num_clusters 24,24     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/inference/inference_crf_msc.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}     --semantic_memory_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}/semantic_prototype     --kmeans_num_clusters 24,24     --label_divisor 2048     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}/semantic_gray     --gt_dir ${DATAROOT}/segcls     --num_classes 15
+fi
+
+if [ ${IS_CONFIG_CLASSIFIER} -eq 1 ]; then
+  PRETRAINED=${SNAPSHOT_DIR}/stage1   PREDICTION_TYPES=softmax_classifier   BATCH_SIZE=16 MAX_ITERATION=4000 KMEANS_ITERATIONS=0 KMEANS_NUM_CLUSTERS=1   render_config configs/densepose_template.yaml ${SNAPSHOT_DIR}/config_classifier.yaml
+fi
+
+if [ ${IS_ANNOTATION_1} -eq 1 ]; then
+  PSEUDO1=${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_nn_rw
+  python3 pyscripts/inference/pseudo_denseposerw_crf.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TRAIN_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${PSEUDO1} \
+    --kmeans_num_clusters 24,24 \
+    --label_divisor 2048 \
+    ${CRF_FLAGS} \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  sed -e "s#LIST_LABEL_PATTERN#`pwd`\/${PSEUDO1}\/semantic_gray#g" \
+    ${TRAIN_DATA_LIST} > ${PSEUDO1}/list.txt
+fi
+
+if [ ${IS_TRAIN_CLASSIFIER_1} -eq 1 ]; then
+  python3 pyscripts/train/train_densepose_classifier.py \
+    --data_dir ${HOME} \
+    --data_list ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_nn_rw/list.txt \
+    --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1 \
+    --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
+fi
+
+if [ ${IS_INFERENCE_CLASSIFIER_1} -eq 1 ]; then
+  python3 pyscripts/inference/inference_softmax_crf_msc.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TEST_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1 \
+    --save_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT} \
+    ${CRF_FLAGS} \
+    --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
+fi
+
+if [ ${IS_BENCHMARK_CLASSIFIER_1} -eq 1 ]; then
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT}/semantic_gray \
+    --gt_dir ${DATAROOT}/segcls \
+    --num_classes 15
+fi

@@ -1,0 +1,177 @@
+#!/bin/bash
+# SPML on PASCAL VOC 2012 with scribble annotations: train the embedding
+# network, build memory banks, KNN + softmax inference/benchmark,
+# self-train a softmax classifier on random-walk pseudo labels.
+#
+# Usage (from the repo root):
+#   source bashscripts/voc12/train_spml_scribble.sh
+#
+# Behavioral reference: twke18/SPML
+# bashscripts/voc12/train_spml_scribble.sh (same stage flags, env-var
+# surface and snapshot/file layout).
+
+source bashscripts/common.sh
+
+# Network.
+BACKBONE_TYPES=panoptic_deeplab_101
+EMBEDDING_DIM=64
+
+# Training.
+PREDICTION_TYPES=segsort
+TRAIN_SPLIT=train+
+GPUS=0  # informational; spml_tpu uses every visible TPU chip
+LR_POLICY=poly
+USE_SYNCBN=true
+SNAPSHOT_STEP=30000
+MAX_ITERATION=30000
+WARMUP_ITERATION=100
+LR=3e-3
+WD=5e-4
+BATCH_SIZE=4
+CROP_SIZE=512
+MEMORY_BANK_SIZE=2
+KMEANS_ITERATIONS=10
+KMEANS_NUM_CLUSTERS=6
+SEM_ANN_LOSS_TYPES=segsort
+SEM_OCC_LOSS_TYPES=segsort
+IMG_SIM_LOSS_TYPES=segsort
+FEAT_AFF_LOSS_TYPES=none
+SEM_ANN_CONCENTRATION=6
+SEM_OCC_CONCENTRATION=12
+IMG_SIM_CONCENTRATION=16
+FEAT_AFF_CONCENTRATION=0
+SEM_ANN_LOSS_WEIGHT=1.0
+SEM_OCC_LOSS_WEIGHT=0.5
+IMG_SIM_LOSS_WEIGHT=0.1
+FEAT_AFF_LOSS_WEIGHT=0.0
+
+# Inference.
+INFERENCE_SPLIT=val
+INFERENCE_IMAGE_SIZE=512
+INFERENCE_CROP_SIZE_H=512
+INFERENCE_CROP_SIZE_W=512
+INFERENCE_STRIDE=512
+
+SNAPSHOT_DIR=snapshots/voc12_scribble/${BACKBONE_TYPES}_${PREDICTION_TYPES}/p${CROP_SIZE}_dim${EMBEDDING_DIM}_nc${KMEANS_NUM_CLUSTERS}_bs${BATCH_SIZE}_it${MAX_ITERATION}
+echo ${SNAPSHOT_DIR}
+
+# Pipeline stages.
+IS_CONFIG_EMB=1
+IS_TRAIN_EMB=1
+IS_CONFIG_CLASSIFIER=1
+IS_ANNOTATION_1=1
+IS_TRAIN_CLASSIFIER_1=1
+IS_INFERENCE_CLASSIFIER_1=1
+IS_BENCHMARK_CLASSIFIER_1=1
+
+export PYTHONPATH=`pwd`:$PYTHONPATH
+
+DATAROOT=${DATAROOT:-/data/VOCdevkit}
+PRETRAINED=${PRETRAINED:-snapshots/imagenet/trained/resnet-101-cuhk.pth}
+TRAIN_DATA_LIST=datasets/voc12/scribble_${TRAIN_SPLIT}_d3_hed.txt
+TEST_DATA_LIST=datasets/voc12/panoptic_${INFERENCE_SPLIT}.txt
+MEMORY_DATA_LIST=datasets/voc12/panoptic_${TRAIN_SPLIT}_hed.txt
+
+if [ ${IS_CONFIG_EMB} -eq 1 ]; then
+  render_config configs/voc12_template.yaml ${SNAPSHOT_DIR}/config_emb.yaml
+fi
+
+if [ ${IS_TRAIN_EMB} -eq 1 ]; then
+  python3 pyscripts/train/train.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TRAIN_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/inference/prototype.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${MEMORY_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT} \
+    --kmeans_num_clusters 12,12 \
+    --label_divisor 2048 \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/inference/inference.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TEST_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT} \
+    --semantic_memory_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}/semantic_prototype \
+    --kmeans_num_clusters 12,12 \
+    --label_divisor 2048 \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}/semantic_gray \
+    --gt_dir ${DATAROOT}/VOC2012/segcls \
+    --num_classes 21
+
+  python3 pyscripts/inference/inference_softmax.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TEST_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}_softmax \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}_softmax/semantic_gray \
+    --gt_dir ${DATAROOT}/VOC2012/segcls \
+    --num_classes 21
+fi
+
+if [ ${IS_CONFIG_CLASSIFIER} -eq 1 ]; then
+  PRETRAINED_SAVE=${PRETRAINED}
+  PRETRAINED=${SNAPSHOT_DIR}/stage1 \
+  PREDICTION_TYPES=softmax_classifier \
+  BATCH_SIZE=16 MAX_ITERATION=4000 KMEANS_ITERATIONS=0 KMEANS_NUM_CLUSTERS=1 \
+  render_config configs/voc12_template.yaml ${SNAPSHOT_DIR}/config_classifier.yaml
+  PRETRAINED=${PRETRAINED_SAVE}
+fi
+
+if [ ${IS_ANNOTATION_1} -eq 1 ]; then
+  python3 pyscripts/inference/pseudo_softmaxrw_crf.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TRAIN_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw \
+    --kmeans_num_clusters 1,1 \
+    --label_divisor 2048 \
+    ${CRF_FLAGS} \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/semantic_gray \
+    --gt_dir ${DATAROOT}/VOC2012/segcls \
+    --num_classes 21
+
+  # rewrite the train list to point at the pseudo labels
+  sed -e "s#scribble_annotation\/VOC2012\/dilate_3\/segcls#`pwd`\/${SNAPSHOT_DIR}\/stage1\/pseudo_labels\/${TRAIN_SPLIT}_cam_rw\/semantic_gray#g" \
+    -e "s#VOC2012#${DATAROOT}\/VOC2012#g" \
+    ${TRAIN_DATA_LIST} > ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/list.txt
+fi
+
+if [ ${IS_TRAIN_CLASSIFIER_1} -eq 1 ]; then
+  python3 pyscripts/train/train_classifier.py \
+    --data_dir ${HOME} \
+    --data_list ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/list.txt \
+    --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1 \
+    --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
+fi
+
+if [ ${IS_INFERENCE_CLASSIFIER_1} -eq 1 ]; then
+  python3 pyscripts/inference/inference_softmax.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TEST_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1 \
+    --save_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT} \
+    ${CRF_FLAGS} \
+    --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
+fi
+
+if [ ${IS_BENCHMARK_CLASSIFIER_1} -eq 1 ]; then
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT}/semantic_gray \
+    --gt_dir ${DATAROOT}/VOC2012/segcls \
+    --num_classes 21
+fi

@@ -1,0 +1,20 @@
+"""Multi-scale segsort KNN inference.
+
+Mirrors the reference CLI of the same name in twke18/SPML pyscripts/.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from spml_tpu import cli
+
+from spml_tpu.inference import runner
+
+
+def main():
+    args, config = cli.parse_args('Multi-scale segsort KNN inference.')
+    runner.run_knn_inference(args, config, msc=True)
+
+
+if __name__ == "__main__":
+    main()

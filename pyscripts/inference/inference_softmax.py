@@ -1,0 +1,20 @@
+"""Sliding-window softmax classifier inference.
+
+Mirrors the reference CLI of the same name in twke18/SPML pyscripts/.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from spml_tpu import cli
+
+from spml_tpu.inference import runner
+
+
+def main():
+    args, config = cli.parse_args('Sliding-window softmax classifier inference.')
+    runner.run_softmax_inference(args, config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Build semantic prototype memory banks over the train split.
+
+Mirrors the reference CLI of the same name in twke18/SPML pyscripts/.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from spml_tpu import cli
+
+from spml_tpu.inference import runner
+
+
+def main():
+    args, config = cli.parse_args('Build semantic prototype memory banks over the train split.')
+    runner.run_prototype(args, config)
+
+
+if __name__ == "__main__":
+    main()

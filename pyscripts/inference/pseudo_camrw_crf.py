@@ -1,0 +1,20 @@
+"""Pseudo labels from SEAM CAMs via affinity random walk + DenseCRF.
+
+Mirrors the reference CLI of the same name in twke18/SPML pyscripts/.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from spml_tpu import cli
+
+from spml_tpu.inference import runner
+
+
+def main():
+    args, config = cli.parse_args('Pseudo labels from SEAM CAMs via affinity random walk + DenseCRF.')
+    runner.run_pseudo_camrw_crf(args, config)
+
+
+if __name__ == "__main__":
+    main()

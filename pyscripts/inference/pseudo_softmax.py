@@ -1,0 +1,20 @@
+"""Pseudo labels from MSC softmax probs via random walk (no CRF).
+
+Mirrors the reference CLI of the same name in twke18/SPML pyscripts/.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from spml_tpu import cli
+
+from spml_tpu.inference import runner
+
+
+def main():
+    args, config = cli.parse_args('Pseudo labels from MSC softmax probs via random walk (no CRF).')
+    runner.run_pseudo_softmax(args, config, with_crf=False, with_walk=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Shared CLI plumbing for the pyscripts entry points.
+
+Behavioral reference: spml/config/parse_args.py:8-53 in twke18/SPML —
+identical flag surface (--snapshot_dir --save_dir --cfg_path
+--semantic_memory_dir --cam_dir --data_dir --data_list
+--kmeans_num_clusters --label_divisor + 6 DenseCRF flags), so the
+reference's bash pipelines drive these scripts unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spml_tpu.config import Config, load_config
+
+
+def parse_args(description: str = "") -> tuple[argparse.Namespace, Config]:
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--snapshot_dir", required=True, type=str)
+    parser.add_argument("--save_dir", type=str)
+    parser.add_argument("--cfg_path", required=True, type=str)
+    parser.add_argument("--semantic_memory_dir", type=str, default=None)
+    parser.add_argument("--cam_dir", type=str, default=None)
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--data_list", type=str, default=None)
+    parser.add_argument("--kmeans_num_clusters", type=str, default=None,
+                        help="H,W")
+    parser.add_argument("--label_divisor", type=int, default=None)
+    parser.add_argument("--crf_iter_max", type=int, default=10)
+    parser.add_argument("--crf_pos_xy_std", type=int, default=1)
+    parser.add_argument("--crf_pos_w", type=int, default=3)
+    parser.add_argument("--crf_bi_xy_std", type=int, default=67)
+    parser.add_argument("--crf_bi_w", type=int, default=4)
+    parser.add_argument("--crf_bi_rgb_std", type=int, default=3)
+    args = parser.parse_args()
+
+    config = load_config(args.cfg_path)
+    if args.kmeans_num_clusters:
+        config.network.kmeans_num_clusters = tuple(
+            int(x) for x in args.kmeans_num_clusters.split(","))
+    if args.label_divisor:
+        config.network.label_divisor = args.label_divisor
+    if args.data_dir:
+        config.dataset.data_dir = args.data_dir
+    return args, config
+
+
+def crf_from_args(args):
+    from spml_tpu.crf import DenseCRF
+    return DenseCRF(iter_max=args.crf_iter_max, pos_w=args.crf_pos_w,
+                    pos_xy_std=args.crf_pos_xy_std, bi_w=args.crf_bi_w,
+                    bi_xy_std=args.crf_bi_xy_std,
+                    bi_rgb_std=args.crf_bi_rgb_std)
+
+
+def build_eval_models(config, snapshot_dir: str, with_classifier=False):
+    """Load the embedding (and optionally classifier) model variables from
+    an orbax snapshot (our trainer) or a torch .pth (reference trainer).
+    Returns (emb_model, emb_vars[, cls_model, cls_vars])."""
+    from spml_tpu.models.embeddings import ClassifierHead, \
+        build_embedding_model
+    from spml_tpu.train import step as step_lib
+
+    dtype = (jnp.bfloat16 if config.tpu.compute_dtype == "bfloat16"
+             else jnp.float32)
+    emb_model = build_embedding_model(config.network.backbone_types,
+                                      config.network.embedding_dim,
+                                      dtype=dtype)
+    crop = tuple(config.test.crop_size)
+    sample = jnp.zeros((1, crop[0], crop[1], 3))
+    evars = emb_model.init(jax.random.PRNGKey(0), sample, train=False)
+    cls_model = ClassifierHead(
+        num_classes=config.dataset.num_classes,
+        hidden_dim=config.network.embedding_dim * 2, dtype=dtype)
+    cvars = cls_model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, crop[0] // 4, crop[1] // 4,
+                   config.network.embedding_dim)), train=False)
+
+    restored = _restore_any(config, snapshot_dir, evars, cvars)
+    if restored is not None:
+        evars, cvars = restored
+    if with_classifier:
+        return emb_model, evars, cls_model, cvars
+    return emb_model, evars
+
+
+def _restore_any(config, snapshot_dir, evars, cvars):
+    """Try orbax checkpoint dir, then torch model-*.pth files."""
+    from spml_tpu.utils import checkpoint as ckpt
+    ck_dir = os.path.join(snapshot_dir, "checkpoints")
+    step = ckpt.latest_step(ck_dir)
+    if step is not None:
+        # restore the raw pytree (no template) and take the subtrees we
+        # need; the snapshot holds the full TrainState
+        import orbax.checkpoint as ocp
+        with ocp.CheckpointManager(os.path.abspath(ck_dir)) as mgr:
+            restored = mgr.restore(step)
+        params = restored["params"]
+        stats = restored["batch_stats"]
+        evars = {"params": params["embedding"],
+                 "batch_stats": stats["embedding"]}
+        if "prediction" in params:
+            cvars = {"params": params["prediction"],
+                     "batch_stats": stats["prediction"]}
+        return evars, cvars
+
+    # torch .pth fallback (reference snapshot layout, train.py:295-304)
+    pth = os.path.join(
+        snapshot_dir, f"model-{config.train.max_iteration - 1}.pth")
+    if os.path.isfile(pth):
+        from spml_tpu.utils import torch_import
+        params, stats = torch_import.load_torch_checkpoint(
+            pth, key="embedding_model")
+        evars = torch_import.merge_pretrained(evars, params, stats,
+                                              strict_names=False)
+        cparams, cstats = torch_import.load_torch_checkpoint(
+            pth, key="prediction_model")
+        cvars = torch_import.merge_pretrained(cvars, cparams, cstats,
+                                              strict_names=False)
+        return evars, cvars
+    return None
+
+
+def save_semantic_pngs(pred: np.ndarray, base_name: str, save_dir: str,
+                       color_map=None) -> None:
+    """Gray + color PNG outputs in the reference's directory layout
+    (semantic_gray/, semantic_color/)."""
+    import PIL.Image
+
+    from spml_tpu.utils import vis
+    gray_dir = os.path.join(save_dir, "semantic_gray")
+    rgb_dir = os.path.join(save_dir, "semantic_color")
+    os.makedirs(gray_dir, exist_ok=True)
+    os.makedirs(rgb_dir, exist_ok=True)
+    PIL.Image.fromarray(pred.astype(np.uint8), mode="L").save(
+        os.path.join(gray_dir, base_name))
+    if color_map is None:
+        color_map = vis.voc_colormap()
+    PIL.Image.fromarray(vis.label_to_color(pred, color_map),
+                        mode="RGB").save(os.path.join(rgb_dir, base_name))
+
+
+def iterate_test_images(config, data_dir, data_list):
+    """Yields (index, base_name, image[H,W,3] normalized, sem, inst)."""
+    from spml_tpu.data import datasets
+    ds = datasets.ListDataset(
+        data_dir, data_list, img_mean=config.network.pixel_means,
+        img_std=config.network.pixel_stds, size=None, training=False)
+    for i in range(len(ds)):
+        item = ds[i]
+        base = os.path.basename(ds.image_paths[i])
+        base = os.path.splitext(base)[0] + ".png"
+        yield (i, base, item["image"], item.get("semantic_label"),
+               item.get("instance_label"))
+
+
+def denormalize_image(image: np.ndarray, config) -> np.ndarray:
+    """Back to uint8 RGB for the CRF (pseudo_camrw_crf.py:172-178)."""
+    img = image * np.asarray(config.network.pixel_stds, np.float32)
+    img = img + np.asarray(config.network.pixel_means, np.float32)
+    return np.clip(img * 255.0, 0, 255).astype(np.uint8)

@@ -1,0 +1,426 @@
+"""Shared drivers behind the pyscripts/inference CLIs.
+
+Behavioral reference (twke18/SPML pyscripts/inference/):
+* prototype.py / prototype_msc.py — memory-bank building (single /
+  multi-scale concat at [0.5, 1, 1.5], prototype_msc.py:94-95);
+* inference.py / inference_msc.py / inference_crf[_msc].py — KNN
+  prediction, optional scale-flip prob averaging, optional DenseCRF over
+  the top-20 one-hot probability maps; predictions resized back to the
+  original image size with nearest interpolation (inference.py:236-240);
+* inference_softmax*.py — classifier logits, MSC and/or CRF;
+* pseudo_camrw_crf.py / pseudo_softmaxrw_crf.py / pseudo_softmax.py /
+  pseudo_inference_crf_msc.py / pseudo_denseposerw_crf.py — pseudo-label
+  generation via CAM/softmax/KNN scores + affinity random walk (+CRF).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spml_tpu import cli
+from spml_tpu.data import transforms
+from spml_tpu.inference import engine as engine_lib
+from spml_tpu.inference import msc as msc_lib
+from spml_tpu.inference.softmax import SoftmaxInferenceEngine
+from spml_tpu.ops import common, randomwalk
+from spml_tpu.utils import vis
+
+
+def _maybe_resize_input(config, image, sem=None, inst=None):
+    """Resize larger side to test.image_size when set
+    (inference.py:123-134)."""
+    if config.test.image_size > 0:
+        image = transforms.resize_with_interpolation(
+            image, config.test.image_size, method="bilinear")
+        if sem is not None:
+            sem = transforms.resize_with_interpolation(
+                sem, config.test.image_size, method="nearest")
+        if inst is not None:
+            inst = transforms.resize_with_interpolation(
+                inst, config.test.image_size, method="nearest")
+    return image, sem, inst
+
+
+def _resize_pred_to(pred, h, w):
+    return np.asarray(common.resize_labels(
+        jnp.asarray(pred[None]), (h, w)))[0]
+
+
+def _load_memory(args, config):
+    protos, labels = engine_lib.load_memory_banks(args.semantic_memory_dir)
+    keep = labels != config.dataset.semantic_ignore_index
+    protos, labels = protos[keep], labels[keep]
+    return (jnp.asarray(protos), jnp.asarray(labels),
+            jnp.ones((protos.shape[0],), bool))
+
+
+def run_prototype(args, config, scales=None):
+    """Build the semantic memory bank over the train split."""
+    eng_model = cli.build_eval_models(config, args.snapshot_dir)
+    eng = engine_lib.InferenceEngine(config, *eng_model)
+    out_dir = os.path.join(args.save_dir, "semantic_prototype")
+    os.makedirs(out_dir, exist_ok=True)
+    for _, base, image, sem, _ in cli.iterate_test_images(
+            config, args.data_dir, args.data_list):
+        image, sem, _ = _maybe_resize_input(config, image, sem)
+        all_p, all_l = [], []
+        for scale in (scales or [1.0]):
+            h, w = image.shape[:2]
+            img_s = transforms._resize_image(
+                image, int(h * scale), int(w * scale)) \
+                if scale != 1.0 else image
+            sem_s = transforms._resize_nearest(
+                sem, img_s.shape[0], img_s.shape[1]) \
+                if scale != 1.0 else sem
+            protos, labels, valid = eng.build_prototypes(img_s, sem_s)
+            all_p.append(protos[valid])
+            all_l.append(labels[valid])
+        engine_lib.save_prototypes(
+            os.path.join(out_dir, base.replace(".png", ".npy")),
+            np.concatenate(all_p, 0), np.concatenate(all_l, 0))
+        print(f"prototype {base}", flush=True)
+
+
+def run_knn_inference(args, config, msc=False, crf=False,
+                      scales=(0.5, 0.75, 1, 1.25, 1.5)):
+    eng_model = cli.build_eval_models(config, args.snapshot_dir)
+    eng = engine_lib.InferenceEngine(config, *eng_model)
+    memory = _load_memory(args, config)
+    postprocessor = cli.crf_from_args(args) if crf else None
+    color_map = vis.load_color_map(config.dataset.color_map_path)
+
+    for _, base, image0, _, _ in cli.iterate_test_images(
+            config, args.data_dir, args.data_list):
+        oh, ow = image0.shape[:2]
+        image, _, _ = _maybe_resize_input(config, image0)
+        if msc or crf:
+            if msc:
+                probs = msc_lib.msc_predict_probs(
+                    lambda im: eng.predict_topk_probs(im, *memory),
+                    image, scales=scales, is_flip=True)
+            else:
+                probs = eng.predict_topk_probs(image, *memory)
+            probs = transforms._resize_image(probs, oh, ow)
+            if postprocessor is not None:
+                rgb = cli.denormalize_image(image0, config)
+                probs = postprocessor(rgb, probs.transpose(2, 0, 1))
+                probs = probs.transpose(1, 2, 0)
+            pred = probs.argmax(-1).astype(np.uint8)
+        else:
+            pred = eng.predict_semantic(image, *memory)
+            pred = _resize_pred_to(pred, oh, ow)
+        cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
+        print(f"inference {base}", flush=True)
+
+
+def run_softmax_inference(args, config, msc=False, crf=False,
+                          scales=(0.5, 0.75, 1, 1.25, 1.5)):
+    emb_model, evars, cls_model, cvars = cli.build_eval_models(
+        config, args.snapshot_dir, with_classifier=True)
+    eng = SoftmaxInferenceEngine(config, emb_model, evars, cls_model,
+                                 cvars)
+    postprocessor = cli.crf_from_args(args) if crf else None
+    color_map = vis.load_color_map(config.dataset.color_map_path)
+
+    for _, base, image0, _, _ in cli.iterate_test_images(
+            config, args.data_dir, args.data_list):
+        oh, ow = image0.shape[:2]
+        image, _, _ = _maybe_resize_input(config, image0)
+        if msc:
+            probs = msc_lib.msc_predict_probs(eng.predict_probs, image,
+                                              scales=scales, is_flip=True)
+        else:
+            probs = eng.predict_probs(image)
+        probs = transforms._resize_image(probs, oh, ow)
+        if postprocessor is not None:
+            rgb = cli.denormalize_image(image0, config)
+            probs = postprocessor(rgb, probs.transpose(2, 0, 1))
+            probs = probs.transpose(1, 2, 0)
+        pred = probs.argmax(-1).astype(np.uint8)
+        cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
+        print(f"softmax inference {base}", flush=True)
+
+
+def _stride8_affinity_embeddings(config, emb_model, evars, image):
+    """Flip-averaged full-res embeddings downsampled to stride 8 and
+    L2-normalized (pseudo_camrw_crf.py:139-150)."""
+    from spml_tpu.models.spp import resize_bilinear
+    h, w = image.shape[:2]
+    img_pad = transforms.resize_with_pad(image, config.test.crop_size, 0.0)
+
+    @jax.jit
+    def fwd(x):
+        emb, _ = emb_model.apply(evars, x, train=False,
+                                 resize_as_input=True)
+        return emb.astype(jnp.float32)
+
+    embs = []
+    for flip in (False, True):
+        x = img_pad[:, ::-1] if flip else img_pad
+        e = np.asarray(fwd(jnp.asarray(x[None])))[0]
+        e = e[:img_pad.shape[0], :img_pad.shape[1]]
+        if flip:
+            e = e[:, ::-1]
+        embs.append(e[:h, :w])
+    emb = np.mean(np.stack(embs), axis=0)
+    emb8 = np.asarray(resize_bilinear(
+        jnp.asarray(emb[None]), (h // 8, w // 8)))[0]
+    emb8 = emb8 / np.maximum(
+        np.linalg.norm(emb8, axis=-1, keepdims=True), 1e-12)
+    return emb8  # [h//8, w//8, D]
+
+
+def _walk_scores(config, emb8, scores_full):
+    """Downsample scores to stride 8, random-walk, upsample back."""
+    from spml_tpu.models.spp import resize_bilinear
+    c, h, w = scores_full.shape
+    gh, gw = emb8.shape[:2]
+    scores8 = np.asarray(resize_bilinear(
+        jnp.asarray(scores_full.transpose(1, 2, 0)[None]),
+        (gh, gw)))[0].transpose(2, 0, 1)
+    walked = np.asarray(randomwalk.random_walk(
+        jnp.asarray(emb8.reshape(-1, emb8.shape[-1])),
+        jnp.asarray(scores8.reshape(c, -1))))
+    walked = walked.reshape(c, gh, gw)
+    out = np.asarray(resize_bilinear(
+        jnp.asarray(walked.transpose(1, 2, 0)[None]), (h, w)))[0]
+    return out.transpose(2, 0, 1)
+
+
+def run_pseudo_camrw_crf(args, config, bg_alpha=6.0, with_crf=True):
+    """Tags: SEAM CAM + random walk + CRF -> pseudo labels
+    (pseudo_camrw_crf.py)."""
+    emb_model, evars = cli.build_eval_models(config, args.snapshot_dir)
+    postprocessor = cli.crf_from_args(args) if with_crf else None
+    color_map = vis.load_color_map(config.dataset.color_map_path)
+    C = config.dataset.num_classes
+
+    for _, base, image, sem, _ in cli.iterate_test_images(
+            config, args.data_dir, args.data_list):
+        h, w = image.shape[:2]
+        cam = np.load(os.path.join(args.cam_dir,
+                                   base.replace(".png", ".npy")),
+                      allow_pickle=True).item()
+        scores = randomwalk.cam_to_full_scores(cam, C, h, w, bg_alpha)
+        emb8 = _stride8_affinity_embeddings(config, emb_model, evars,
+                                            image)
+        walked = _walk_scores(config, emb8, scores)
+        if postprocessor is not None:
+            rgb = cli.denormalize_image(image, config)
+            walked = postprocessor(rgb, np.ascontiguousarray(walked))
+        pred = walked.argmax(0).astype(np.uint8)
+        cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
+        print(f"pseudo_camrw {base}", flush=True)
+
+
+def run_pseudo_softmax(args, config, with_crf=False, with_walk=True,
+                       scales=(0.75, 1.0)):
+    """Softmax probs (flip/scale averaged), tag-masked, random walk,
+    optional CRF (pseudo_softmaxrw_crf.py / pseudo_softmax.py)."""
+    emb_model, evars, cls_model, cvars = cli.build_eval_models(
+        config, args.snapshot_dir, with_classifier=True)
+    eng = SoftmaxInferenceEngine(config, emb_model, evars, cls_model,
+                                 cvars)
+    postprocessor = cli.crf_from_args(args) if with_crf else None
+    color_map = vis.load_color_map(config.dataset.color_map_path)
+    C = config.dataset.num_classes
+
+    for _, base, image, sem, _ in cli.iterate_test_images(
+            config, args.data_dir, args.data_list):
+        h, w = image.shape[:2]
+        probs = msc_lib.msc_predict_probs(eng.predict_probs, image,
+                                          scales=scales, is_flip=True)
+        probs = probs.transpose(2, 0, 1)  # [C, h, w]
+        # mask to the image's tags and max-normalize
+        # (pseudo_softmaxrw_crf.py:146-158)
+        if sem is not None:
+            tags = np.zeros(C, np.float32)
+            uniq = np.unique(sem)
+            tags[uniq[uniq < C]] = 1.0
+            probs = probs * tags[:, None, None]
+        probs = probs / np.maximum(probs.max(axis=(1, 2), keepdims=True),
+                                   1e-8)
+        if with_walk:
+            emb8 = _stride8_affinity_embeddings(config, emb_model, evars,
+                                                image)
+            probs = _walk_scores(config, emb8, probs)
+        if postprocessor is not None:
+            rgb = cli.denormalize_image(image, config)
+            probs = postprocessor(rgb, np.ascontiguousarray(probs))
+        pred = probs.argmax(0).astype(np.uint8)
+        cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
+        print(f"pseudo_softmax {base}", flush=True)
+
+
+def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
+                   prob_floor=0.15, with_crf=True):
+    """KNN-retrieval pseudo labels with tag masking + probability floor +
+    CRF (pseudo_inference_crf_msc.py:135-292)."""
+    eng_model = cli.build_eval_models(config, args.snapshot_dir)
+    eng = engine_lib.InferenceEngine(config, *eng_model)
+    memory = _load_memory(args, config)
+    postprocessor = cli.crf_from_args(args) if with_crf else None
+    color_map = vis.load_color_map(config.dataset.color_map_path)
+    C = config.dataset.num_classes
+    ignore = config.dataset.semantic_ignore_index
+
+    for _, base, image, sem, _ in cli.iterate_test_images(
+            config, args.data_dir, args.data_list):
+        oh, ow = image.shape[:2]
+        probs = msc_lib.msc_predict_probs(
+            lambda im: eng.predict_topk_probs(im, *memory),
+            image, scales=scales, is_flip=True)
+        probs = probs.transpose(2, 0, 1)
+        if sem is not None:
+            tags = np.zeros(C, np.float32)
+            uniq = np.unique(sem)
+            tags[uniq[uniq < C]] = 1.0
+            probs = probs * tags[:, None, None]
+        if postprocessor is not None:
+            rgb = cli.denormalize_image(image, config)
+            probs = postprocessor(rgb, np.ascontiguousarray(probs))
+        pred = probs.argmax(0).astype(np.uint8)
+        # low-confidence pixels -> ignore (prob_floor 0.15)
+        pred = np.where(probs.max(0) < prob_floor, ignore, pred)
+        pred = pred.astype(np.uint8)
+        cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
+        print(f"pseudo_knn {base}", flush=True)
+
+
+def run_benchmark(args, config, instance=False):
+    """mIoU (or instance-weighted IoU) of save_dir/semantic_gray vs the
+    ground-truth list (benchmark_by_mIoU.py / benchmark_by_instance.py)."""
+    import PIL.Image
+
+    from spml_tpu.utils import metrics
+    C = config.dataset.num_classes
+    meter = (metrics.InstanceWeightedIoU(C) if instance
+             else metrics.MeanIoU(C))
+    pred_dir = os.path.join(args.save_dir, "semantic_gray")
+    for _, base, _, sem, inst in cli.iterate_test_images(
+            config, args.data_dir, args.data_list):
+        pred = np.array(PIL.Image.open(os.path.join(pred_dir, base)))
+        if instance:
+            meter.update(pred, sem, inst)
+        else:
+            meter.update(pred, sem)
+    result = meter.result()
+    print("class IoU:", np.round(result["class_iou"], 4).tolist())
+    print(f"mean IoU: {result['mean_iou']:.4f}")
+    if "pixel_accuracy" in result:
+        print(f"pixel accuracy: {result['pixel_accuracy']:.4f}")
+    return result
+
+
+def run_pseudo_densepose(args, config, with_crf=True, bg_threshold=None):
+    """DensePose point pseudo labels (pseudo_denseposerw_crf.py:95-243):
+    cluster half-res embeddings WITH the point labels (ignore pixels
+    remapped to an extra 'unknown' class so they cluster too), propagate
+    labels to unlabeled segments by nearest labeled prototype (top-1,
+    threshold -1), per-segment class distributions, stride-8 random walk,
+    CRF, then re-mask the originally-ignored pixels."""
+    import jax
+
+    from spml_tpu.models.spp import resize_bilinear
+    from spml_tpu.ops import kmeans, knn
+
+    emb_model, evars = cli.build_eval_models(config, args.snapshot_dir)
+    postprocessor = cli.crf_from_args(args) if with_crf else None
+    color_map = vis.load_color_map(config.dataset.color_map_path)
+    C = config.dataset.num_classes
+    ignore = config.dataset.semantic_ignore_index
+    k_clusters = tuple(config.network.kmeans_num_clusters)
+    capacity = max(config.tpu.segment_capacity,
+                   2 * int(np.prod(k_clusters)))
+
+    @jax.jit
+    def embed_half(x):
+        emb, _ = emb_model.apply(evars, x, train=False,
+                                 resize_as_input=True)
+        emb = emb.astype(jnp.float32)
+        return resize_bilinear(emb, (x.shape[1] // 2, x.shape[2] // 2))
+
+    def propagate(emb_half, sem_half, inst_half):
+        h2, w2 = emb_half.shape[:2]
+        loc = jnp.broadcast_to(
+            common.generate_location_features(h2, w2) - 0.5,
+            (1, h2, w2, 2))
+        segs, emb_flat, _ = kmeans.segment_batch(
+            emb_half[None], loc, sem_half[None], inst_half[None],
+            k_clusters, capacity, config.network.kmeans_iterations,
+            ignore, label_cap=config.tpu.label_cap)
+        seg_ids = segs.pixel_segment_ids[0]
+        weights = segs.pixel_valid[0].astype(jnp.float32)
+        protos = kmeans.calculate_prototypes_from_labels(
+            emb_flat[0], seg_ids, capacity, weights)
+        tags = knn.nearest_neighbor_multiset_labels(
+            emb_flat[0], protos, segs.segment_semantic[0],
+            jnp.zeros((h2 * w2,), jnp.int32),
+            jnp.zeros((capacity,), jnp.int32), C,
+            top_k=1, threshold=-1.0,
+            prototype_mask=segs.segment_valid[0])
+        s_probs = common.segment_mean(tags.astype(jnp.float32), seg_ids,
+                                      capacity, weights)
+        s_probs = s_probs / jnp.maximum(
+            jnp.sum(s_probs, axis=1, keepdims=True), 1e-8)
+        return jnp.take(s_probs, seg_ids, axis=0).reshape(h2, w2, C)
+
+    propagate = jax.jit(propagate)
+
+    for _, base, image, sem, inst in cli.iterate_test_images(
+            config, args.data_dir, args.data_list):
+        h, w = image.shape[:2]
+        lab_tags = np.unique(sem)
+        lab_tags = lab_tags[lab_tags < C]
+        present = np.zeros(C, bool)
+        present[lab_tags] = True
+
+        img_pad = transforms.resize_with_pad(image,
+                                             config.test.crop_size, 0.0)
+        emb_half = np.asarray(embed_half(jnp.asarray(img_pad[None])))[0]
+        emb_half = emb_half[:h // 2, :w // 2]
+
+        # point labels, 255 -> 'unknown' class C (kept in clustering)
+        sem_u = sem.astype(np.int32).copy()
+        sem_u[sem_u == ignore] = C
+        sem_half = transforms._resize_nearest(sem_u, h // 2, w // 2)
+        inst_half = transforms._resize_nearest(
+            inst.astype(np.int32), h // 2, w // 2)
+
+        probs_half = np.asarray(propagate(
+            jnp.asarray(emb_half), jnp.asarray(sem_half),
+            jnp.asarray(inst_half)))  # [h2, w2, C]
+
+        # stride-8 scores, per-class max-normalized, absent classes zeroed
+        gh, gw = h // 8, w // 8
+        scores8 = np.asarray(resize_bilinear(
+            jnp.asarray(probs_half[None]), (gh, gw)))[0].transpose(2, 0, 1)
+        scores8 = scores8 / np.maximum(
+            scores8.reshape(C, -1).max(1)[:, None, None], 1e-8)
+        scores8[~present] = 0.0
+        if bg_threshold is not None:
+            scores8[0] = bg_threshold
+
+        emb8 = emb_half / np.maximum(
+            np.linalg.norm(emb_half, axis=-1, keepdims=True), 1e-12)
+        emb8 = np.asarray(resize_bilinear(jnp.asarray(emb8[None]),
+                                          (gh, gw)))[0]
+        emb8 = emb8 / np.maximum(
+            np.linalg.norm(emb8, axis=-1, keepdims=True), 1e-12)
+        walked = np.asarray(randomwalk.random_walk(
+            jnp.asarray(emb8.reshape(-1, emb8.shape[-1])),
+            jnp.asarray(scores8.reshape(C, -1)))).reshape(C, gh, gw)
+
+        full = transforms._resize_image(walked.transpose(1, 2, 0), h, w)
+        full = np.ascontiguousarray(full.transpose(2, 0, 1))
+        if postprocessor is not None:
+            rgb = cli.denormalize_image(image, config)
+            full = postprocessor(rgb, full)
+        pred = full.argmax(0).astype(np.uint8)
+        pred[sem == ignore] = ignore
+        cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
+        print(f"pseudo_densepose {base}", flush=True)

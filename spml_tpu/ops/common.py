@@ -20,10 +20,13 @@ def normalize_embedding(embeddings: jnp.ndarray, eps: float = EPS_NORM) -> jnp.n
     """L2-normalizes along the last axis with an eps floor on the norm.
 
     Matches the reference semantics (norm < eps -> divide by eps), so a
-    zero vector maps to a zero vector rather than NaN.
+    zero vector maps to a zero vector. The floor is clamped INSIDE the
+    sqrt: sqrt'(0) = inf would otherwise poison the backward pass with
+    0 * inf = NaN for all-zero rows (e.g. empty-segment prototypes),
+    which `jnp.maximum` after the sqrt does NOT prevent.
     """
-    norm = jnp.linalg.norm(embeddings, axis=-1, keepdims=True)
-    norm = jnp.maximum(norm, eps)
+    sq = jnp.sum(jnp.square(embeddings), axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
     return embeddings / norm
 
 

@@ -1,0 +1,219 @@
+"""Training loop drivers shared by the train CLIs.
+
+Behavioral reference: pyscripts/train/train.py:41-313 and
+train_classifier.py:54-189 in twke18/SPML — the setup / loop / snapshot
+skeleton around the jitted step; tensorboard scalars + image panels every
+tensorboard_step (vis.py:15-101), snapshots every snapshot_step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spml_tpu.data import datasets as datasets_lib
+from spml_tpu.parallel import mesh as mesh_lib
+from spml_tpu.train import classifier_step as cstep_lib
+from spml_tpu.train import step as step_lib
+from spml_tpu.utils import checkpoint as ckpt
+from spml_tpu.utils import vis
+
+
+def _writer(snapshot_dir):
+    try:
+        import tensorboardX
+        return tensorboardX.SummaryWriter(logdir=snapshot_dir)
+    except Exception:  # pragma: no cover - tensorboard optional
+        return None
+
+
+def _load_pretrained(config, state):
+    """config.network.pretrained: torch .pth (CUHK resnet-101 naming) or
+    orbax dir; merged into the embedding params
+    (reference train.py:124-126)."""
+    path = config.network.pretrained
+    if not path or not os.path.exists(path):
+        if path:
+            print(f"pretrained not found, training from scratch: {path}")
+        return state
+    from spml_tpu.utils import torch_import
+    params, stats = torch_import.load_torch_checkpoint(
+        path, key="embedding_model", cuhk_names=True)
+    evars = {"params": state.params["embedding"],
+             "batch_stats": state.batch_stats["embedding"]}
+    evars = torch_import.merge_pretrained(evars, params, stats,
+                                          strict_shapes=False,
+                                          strict_names=False)
+    new_params = dict(state.params)
+    new_params["embedding"] = evars["params"]
+    new_stats = dict(state.batch_stats)
+    new_stats["embedding"] = evars["batch_stats"]
+    print(f"loaded pretrained weights from {path}")
+    return state.replace(params=new_params, batch_stats=new_stats)
+
+
+def _log_metrics(writer, metrics, step, prefix=""):
+    line = " ".join(f"{k}={float(v):.4f}" for k, v in sorted(
+        metrics.items()) if np.ndim(v) == 0)
+    print(f"iter {step}: {line}", flush=True)
+    if writer is not None:
+        for k, v in metrics.items():
+            if np.ndim(v) == 0:
+                writer.add_scalar(prefix + k, float(v), step)
+
+
+def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
+    """Main SPML contrastive training (reference train.py)."""
+    n_dev = max(1, len(jax.devices()))
+    config.tpu.num_devices = n_dev
+    global_batch = config.train.batch_size * n_dev
+    crop = tuple(config.train.crop_size)
+
+    dataset = dataset_cls(
+        data_dir=args.data_dir or config.dataset.data_dir,
+        data_list=args.data_list or config.dataset.train_data_list,
+        img_mean=config.network.pixel_means,
+        img_std=config.network.pixel_stds,
+        size=crop, random_crop=config.train.random_crop,
+        random_scale=config.train.random_scale,
+        random_mirror=config.train.random_mirror, training=True)
+    loader = iter(datasets_lib.Loader(dataset, global_batch,
+                                      shuffle=config.train.shuffle))
+
+    mesh = mesh_lib.make_mesh()
+    state = step_lib.init_state(
+        config, jax.random.PRNGKey(235),
+        jnp.zeros((global_batch, crop[0], crop[1], 3)))
+
+    ck_dir = os.path.join(args.snapshot_dir, "checkpoints")
+    start = config.train.begin_iteration
+    if config.train.resume and ckpt.latest_step(ck_dir) is not None:
+        start = ckpt.latest_step(ck_dir)
+        state = ckpt.restore(ck_dir, state)
+        print(f"resumed from iteration {start}")
+    else:
+        state = _load_pretrained(config, state)
+
+    state = mesh_lib.device_put_replicated(state, mesh)
+    train_step = mesh_lib.shard_train_step(
+        step_lib.make_train_step(config), mesh)
+    writer = _writer(args.snapshot_dir)
+
+    t0 = time.time()
+    for it in range(start, config.train.max_iteration):
+        batch = mesh_lib.device_put_batch(_to_train_batch(next(loader)),
+                                          mesh)
+        state, metrics = train_step(state, batch)
+        if it % config.train.tensorboard_step == 0:
+            jax.block_until_ready(metrics)
+            dt = time.time() - t0
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            metrics["imgs_per_sec"] = (
+                global_batch * config.train.tensorboard_step / dt
+                if it > start else global_batch / dt)
+            _log_metrics(writer, metrics, it)
+            t0 = time.time()
+        if ((it + 1) % config.train.snapshot_step == 0
+                or it == config.train.max_iteration - 1):
+            ckpt.save(ck_dir, it + 1, jax.device_get(state))
+            print(f"snapshot at iteration {it + 1}")
+    return state
+
+
+def _to_train_batch(batch):
+    out = {"image": batch["image"],
+           "semantic_label": batch["semantic_label"],
+           "instance_label": batch["instance_label"]}
+    out["semantic_tag"] = batch.get(
+        "semantic_tag",
+        np.zeros((batch["image"].shape[0], 256), np.int32))
+    return out
+
+
+def train_classifier(args, config,
+                     dataset_cls=datasets_lib.ListTagClassifierDataset):
+    """Stage-2 classifier training (reference train_classifier.py)."""
+    from spml_tpu.models.embeddings import build_embedding_model
+
+    n_dev = max(1, len(jax.devices()))
+    global_batch = config.train.batch_size * n_dev
+    crop = tuple(config.train.crop_size)
+
+    dataset = dataset_cls(
+        data_dir=args.data_dir or config.dataset.data_dir,
+        data_list=args.data_list or config.dataset.train_data_list,
+        img_mean=config.network.pixel_means,
+        img_std=config.network.pixel_stds,
+        size=crop, random_crop=config.train.random_crop,
+        random_scale=config.train.random_scale,
+        random_mirror=config.train.random_mirror, training=True)
+    loader = iter(datasets_lib.Loader(dataset, global_batch,
+                                      shuffle=config.train.shuffle))
+
+    # frozen embedding model from config.network.pretrained (the stage-1
+    # snapshot, train_classifier.py:99-113)
+    dtype = (jnp.bfloat16 if config.tpu.compute_dtype == "bfloat16"
+             else jnp.float32)
+    emb_model = build_embedding_model(config.network.backbone_types,
+                                      config.network.embedding_dim,
+                                      dtype=dtype)
+    evars = emb_model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, crop[0], crop[1], 3)),
+                           train=False)
+    pre = config.network.pretrained
+    if pre and os.path.isdir(pre):
+        # orbax stage-1 snapshot dir
+        from spml_tpu.cli import _restore_any
+        from spml_tpu.models.embeddings import ClassifierHead
+        cls_tmp = ClassifierHead(num_classes=config.dataset.num_classes,
+                                 hidden_dim=config.network.embedding_dim * 2)
+        cvars_tmp = cls_tmp.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, crop[0] // 4, crop[1] // 4,
+                       config.network.embedding_dim)), train=False)
+        restored = _restore_any(config, pre, evars, cvars_tmp)
+        if restored is not None:
+            evars = restored[0]
+            print(f"loaded frozen embedding model from {pre}")
+    elif pre and os.path.isfile(pre):
+        from spml_tpu.utils import torch_import
+        params, stats = torch_import.load_torch_checkpoint(
+            pre, key="embedding_model")
+        evars = torch_import.merge_pretrained(evars, params, stats,
+                                              strict_shapes=False,
+                                              strict_names=False)
+        print(f"loaded frozen embedding model from {pre}")
+
+    mesh = mesh_lib.make_mesh()
+    state = cstep_lib.init_classifier_state(
+        config, jax.random.PRNGKey(235), config.network.embedding_dim)
+    ck_dir = os.path.join(args.snapshot_dir, "checkpoints")
+    start = config.train.begin_iteration
+    if config.train.resume and ckpt.latest_step(ck_dir) is not None:
+        start = ckpt.latest_step(ck_dir)
+        state = ckpt.restore(ck_dir, state)
+
+    state = mesh_lib.device_put_replicated(state, mesh)
+    evars = mesh_lib.device_put_replicated(evars, mesh)
+    train_step = mesh_lib.shard_train_step(
+        cstep_lib.make_classifier_train_step(config, emb_model, evars),
+        mesh)
+    writer = _writer(args.snapshot_dir)
+
+    t0 = time.time()
+    for it in range(start, config.train.max_iteration):
+        batch = mesh_lib.device_put_batch(_to_train_batch(next(loader)),
+                                          mesh)
+        state, metrics = train_step(state, batch)
+        if it % config.train.tensorboard_step == 0:
+            jax.block_until_ready(metrics)
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            _log_metrics(writer, metrics, it, prefix="classifier/")
+        if ((it + 1) % config.train.snapshot_step == 0
+                or it == config.train.max_iteration - 1):
+            ckpt.save(ck_dir, it + 1, jax.device_get(state))
+    return state

@@ -139,3 +139,24 @@ def test_multichip_equals_singlechip():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_empty_segments_do_not_nan_gradients():
+    """Regression: empty segment-capacity slots produce zero-vector
+    prototypes whose L2-normalize must not emit NaN in the backward pass
+    (sqrt'(0) * 0 trap)."""
+    cfg = _tiny_config(batch=2, crop=32)
+    cfg.tpu.segment_capacity = 64  # far more slots than actual segments
+    rng = np.random.RandomState(5)
+    img = jnp.zeros((2, 32, 32, 3))
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    step = jax.jit(step_lib.make_train_step(cfg))
+    batch = _batch(rng, 2, 32)
+    # few distinct labels -> few segments -> many empty slots
+    batch["semantic_label"] = jnp.zeros((2, 32, 32), jnp.int32)
+    batch["instance_label"] = jnp.zeros((2, 32, 32), jnp.int32)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(metrics["num_segments"]) < 64
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
