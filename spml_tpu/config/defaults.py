@@ -96,6 +96,11 @@ class TpuConfig:
     compute_dtype: str = "bfloat16"
     # width of the dataset-level tag vector (reference uses 256)
     tag_width: int = 256
+    # use the fused Pallas pixel-prototype loss kernel for sem_ann.
+    # O(N+P) memory instead of O(N*P): slightly slower than dense XLA at
+    # small prototype counts but required for large batches / memory banks
+    # where the dense similarity matrix would not fit.
+    use_fused_loss: bool = False
 
 
 @dataclass

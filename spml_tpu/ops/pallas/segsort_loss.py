@@ -1,0 +1,276 @@
+"""Fused Pallas kernel for the SegSort pixel-to-prototype statistics.
+
+The hottest op in SPML training is sims = exp(kappa * E @ P^T) over
+[N pixels, P prototypes] followed by three masked row-reductions
+(own-prototype similarity, same-class sum, different-class sum) — the
+reference materializes the full matrix (loss.py:49-51 in twke18/SPML),
+~3 GB at flagship scale. This kernel streams prototype tiles through
+VMEM flash-attention-style and emits only the three [N] statistics;
+the backward pass recomputes tiles and accumulates dE / dP the same way,
+so peak memory is O(N + P) instead of O(N * P).
+
+Two front-ends:
+* segsort_stats — hard labels (sem_ann / img_sim): same-class test is
+  label equality; invalid prototypes (label -1 by convention) land in
+  neither sum.
+* The caller composes the final "segsort+" log-likelihood from the
+  three statistics (cheap elementwise), keeping exact reference
+  numerics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tile sizes: rows of pixels x columns of prototypes per step.
+BLOCK_N = 256
+BLOCK_P = 512
+
+
+def _pad_to(x, multiple, axis, value=0):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _stats_kernel(kappa, emb_ref, pix_lab_ref, own_ref, protos_ref,
+                  proto_lab_ref, own_out, same_out, diff_out):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        own_out[...] = jnp.zeros_like(own_out)
+        same_out[...] = jnp.zeros_like(same_out)
+        diff_out[...] = jnp.zeros_like(diff_out)
+
+    logits = jax.lax.dot_general(
+        emb_ref[...], protos_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims = jnp.exp(logits * kappa)  # [BLOCK_N, BLOCK_P]
+
+    pix_lab = pix_lab_ref[0, :]      # [BLOCK_N]
+    proto_lab = proto_lab_ref[0, :]  # [BLOCK_P]
+    valid = (proto_lab >= 0)[None, :]
+    same = (pix_lab[:, None] == proto_lab[None, :]) & valid
+    diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
+
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+    col = col + j * BLOCK_P
+    own_mask = col == own_ref[0, :][:, None]
+
+    own_out[0, :] += jnp.sum(jnp.where(own_mask, sims, 0.0), axis=1)
+    same_out[0, :] += jnp.sum(jnp.where(same, sims, 0.0), axis=1)
+    diff_out[0, :] += jnp.sum(jnp.where(diff, sims, 0.0), axis=1)
+
+
+def _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab, kappa,
+                    interpret):
+    n, d = emb.shape
+    p = protos.shape[0]
+    grid = (n // BLOCK_N, p // BLOCK_P)
+
+    out_shape = [jax.ShapeDtypeStruct((1, n), jnp.float32)] * 3
+    kernel = functools.partial(_stats_kernel, kappa)
+    own, same, diff = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(emb, pix_lab[None], own_idx[None], protos, proto_lab[None])
+    return own[0], same[0], diff[0]
+
+
+def _grad_coeff_kernel(kappa, emb_ref, pix_lab_ref, own_ref, g_own_ref,
+                       g_same_ref, g_diff_ref, protos_ref, proto_lab_ref,
+                       de_out):
+    """dE accumulation: dE[n] += sum_k c[n,k] * P[k],
+    c = kappa * sims * (g_own * own_mask + g_same * same + g_diff * diff).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        de_out[...] = jnp.zeros_like(de_out)
+
+    logits = jax.lax.dot_general(
+        emb_ref[...], protos_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims = jnp.exp(logits * kappa)
+
+    pix_lab = pix_lab_ref[0, :]
+    proto_lab = proto_lab_ref[0, :]
+    valid = (proto_lab >= 0)[None, :]
+    same = (pix_lab[:, None] == proto_lab[None, :]) & valid
+    diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + j * BLOCK_P
+    own_mask = col == own_ref[0, :][:, None]
+
+    g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
+         + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
+         + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
+    c = kappa * sims * g
+    de_out[...] += jax.lax.dot_general(
+        c, protos_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _grad_proto_kernel(kappa, emb_ref, pix_lab_ref, own_ref, g_own_ref,
+                       g_same_ref, g_diff_ref, protos_ref, proto_lab_ref,
+                       dp_out):
+    """dP accumulation: dP[k] += sum_n c[n,k] * E[n] (inner grid over N)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dp_out[...] = jnp.zeros_like(dp_out)
+
+    logits = jax.lax.dot_general(
+        emb_ref[...], protos_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims = jnp.exp(logits * kappa)
+
+    pix_lab = pix_lab_ref[0, :]
+    proto_lab = proto_lab_ref[0, :]
+    valid = (proto_lab >= 0)[None, :]
+    same = (pix_lab[:, None] == proto_lab[None, :]) & valid
+    diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
+    j = pl.program_id(0)
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + j * BLOCK_P
+    own_mask = col == own_ref[0, :][:, None]
+
+    g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
+         + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
+         + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
+    c = kappa * sims * g  # [BLOCK_N, BLOCK_P]
+    dp_out[...] += jax.lax.dot_general(
+        c, emb_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def segsort_stats(emb, pix_lab, own_idx, protos, proto_lab, kappa,
+                  interpret=False):
+    """(own, same_sum, diff_sum) per pixel, all [N] float32.
+
+    Args:
+      emb: [N, D] L2-normalized pixels (N % 256 == 0 after caller pad).
+      pix_lab: [N] int32 pixel class labels.
+      own_idx: [N] int32 own-prototype row index.
+      protos: [P, D] prototypes (P % 512 == 0 after caller pad).
+      proto_lab: [P] int32 prototype labels; NEGATIVE = invalid
+        (excluded from same/diff sums).
+      kappa: python float concentration.
+    """
+    return _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab,
+                           kappa, interpret)
+
+
+def _stats_fwd(emb, pix_lab, own_idx, protos, proto_lab, kappa, interpret):
+    out = _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab, kappa,
+                          interpret)
+    return out, (emb, pix_lab, own_idx, protos, proto_lab)
+
+
+def _stats_bwd(kappa, interpret, residuals, grads):
+    emb, pix_lab, own_idx, protos, proto_lab = residuals
+    g_own, g_same, g_diff = grads
+    n, d = emb.shape
+    p = protos.shape[0]
+
+    de = pl.pallas_call(
+        functools.partial(_grad_coeff_kernel, kappa),
+        grid=(n // BLOCK_N, p // BLOCK_P),
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(emb, pix_lab[None], own_idx[None], g_own[None], g_same[None],
+      g_diff[None], protos, proto_lab[None])
+
+    dp = pl.pallas_call(
+        functools.partial(_grad_proto_kernel, kappa),
+        grid=(p // BLOCK_P, n // BLOCK_N),
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, d), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, d), jnp.float32),
+        interpret=interpret,
+    )(emb, pix_lab[None], own_idx[None], g_own[None], g_same[None],
+      g_diff[None], protos, proto_lab[None])
+
+    return de, None, None, dp, None
+
+
+segsort_stats.defvjp(_stats_fwd, _stats_bwd)
+
+
+def fused_segsort_loss(embeddings, semantic_labels, own_segment_ids,
+                       prototypes, prototype_semantic_labels, concentration,
+                       pixel_mask, prototype_mask, interpret=False):
+    """Drop-in replacement for spml_tpu.ops.losses.segsort_loss backed by
+    the fused kernel. Pads N to 256 and P to 512 internally; padded
+    pixels/prototypes are masked out exactly (invalid label -1)."""
+    n0 = embeddings.shape[0]
+    emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
+    pix_lab = _pad_to(semantic_labels.astype(jnp.int32), BLOCK_N, 0,
+                      value=-1)
+    own = _pad_to(own_segment_ids.astype(jnp.int32), BLOCK_N, 0, value=0)
+    protos = _pad_to(prototypes.astype(jnp.float32), BLOCK_P, 0)
+    plab = jnp.where(prototype_mask,
+                     prototype_semantic_labels.astype(jnp.int32), -1)
+    plab = _pad_to(plab, BLOCK_P, 0, value=-1)
+
+    own_s, same_s, diff_s = segsort_stats(emb, pix_lab, own, protos, plab,
+                                          float(concentration), interpret)
+    own_s, same_s, diff_s = own_s[:n0], same_s[:n0], diff_s[:n0]
+
+    same_minus = same_s - own_s
+    numerator = jnp.where(same_minus > 0, same_minus, own_s)
+    # diff_sum excludes same-class prototypes by construction, so
+    # denominator = diff_s + numerator exactly as the reference
+    # (loss.py:74-78).
+    denominator = diff_s + numerator
+    ll = -jnp.log(numerator / denominator)
+    m = pixel_mask.astype(jnp.float32)
+    return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)

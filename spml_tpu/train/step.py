@@ -209,36 +209,79 @@ def make_train_step(config, emb_model=None, cls_model=None):
         ce = _cross_entropy(logits_up, batch["semantic_label"], C, ignore)
 
         if use_sem_ann:
-            ann = losses.segsort_loss(
-                emb_flat.reshape(-1, D), pix_sem, pix_own,
-                all_protos, all_sem, tcfg.sem_ann_concentration,
-                pix_valid & (pix_sem < C), all_valid & (all_sem < C))
+            if config.tpu.use_fused_loss:
+                from spml_tpu.ops.pallas.segsort_loss import \
+                    fused_segsort_loss
+                ann = fused_segsort_loss(
+                    emb_flat.reshape(-1, D), pix_sem, pix_own, all_protos,
+                    jnp.where(all_valid & (all_sem < C), all_sem, -1),
+                    tcfg.sem_ann_concentration,
+                    pix_valid & (pix_sem < C),
+                    all_valid & (all_sem < C))
+            else:
+                ann = losses.segsort_loss(
+                    emb_flat.reshape(-1, D), pix_sem, pix_own,
+                    all_protos, all_sem, tcfg.sem_ann_concentration,
+                    pix_valid & (pix_sem < C), all_valid & (all_sem < C))
             sem_ann = (ce + ann) * tcfg.sem_ann_loss_weight
         else:
             sem_ann = ce
         metrics["sem_ann_loss"] = sem_ann
         total = total + sem_ann
 
-        # ---- semantic co-occurrence (dataset tags) ----
+        # ---- semantic co-occurrence tags ----
+        # VOC: dataset-level multi-hot tags (segsort_softmax.py:146-151).
+        # DensePose: per-prototype tags propagated from the nearest
+        # labeled segment within the same image over prototypes_with_loc
+        # (segsort_softmax_densepose.py:174-193; top-1, threshold .95,
+        # tagless prototypes fall back to all-ones = unconstrained).
+        if densepose and (use_sem_occ or use_feat_aff):
+            if mem_size > 0:
+                all_ploc = jnp.concatenate(
+                    [cur["prototype_with_loc"],
+                     memory.prototype_with_loc.reshape(
+                         -1, cur["prototype_with_loc"].shape[-1])], 0)
+                all_pbatch = jnp.concatenate(
+                    [proto_batch, memory.batch_index.reshape(-1)], 0)
+            else:
+                all_ploc, all_pbatch = cur["prototype_with_loc"], proto_batch
+            nn_tags = knn.nearest_neighbor_multiset_labels(
+                jax.lax.stop_gradient(all_ploc),
+                jax.lax.stop_gradient(all_ploc),
+                all_sem, all_pbatch, all_pbatch, C,
+                top_k=1, threshold=0.95, prototype_mask=all_valid)
+            tagless = jnp.max(nn_tags, axis=1, keepdims=True) == 0
+            nn_tags = jnp.where(tagless, 1, nn_tags)
+            occ_proto_tags = nn_tags
+            occ_pix_tags = jnp.take(nn_tags, pix_own, axis=0)
+        else:
+            occ_proto_tags = all_tag[:, 1:C]
+            occ_pix_tags = pix_tag[:, 1:C]
+
         if use_sem_occ:
             occ = losses.set_segsort_loss(
-                emb_flat.reshape(-1, D), pix_tag[:, 1:C], pix_own,
-                all_protos, all_tag[:, 1:C], tcfg.sem_occ_concentration,
+                emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
+                all_protos, occ_proto_tags, tcfg.sem_occ_concentration,
                 pix_valid, all_valid)
             occ = occ * tcfg.sem_occ_loss_weight
             metrics["sem_occ_loss"] = occ
             total = total + occ
 
         # ---- low-level image similarity (per image) ----
+        # VOC groups by embeddings ++ location (segsort_softmax.py:222);
+        # the densepose predictor uses the plain embeddings
+        # (segsort_softmax_densepose.py:236).
         if use_img_sim:
             def one_image(e, il, own, pl, p_inst, p_valid, p_mask):
                 return losses.segsort_loss(
                     e, il, own, pl, p_inst,
                     tcfg.img_sim_concentration, p_mask, p_valid)
 
+            sim_emb = emb_flat if densepose else emb_loc
+            sim_protos = protos if densepose else protos_loc
             per_img = jax.vmap(one_image)(
-                emb_loc, inst.reshape(B, N), segs.pixel_segment_ids,
-                protos_loc, segs.segment_instance, segs.segment_valid,
+                sim_emb, inst.reshape(B, N), segs.pixel_segment_ids,
+                sim_protos, segs.segment_instance, segs.segment_valid,
                 segs.pixel_valid)
             has_any = jnp.any(segs.pixel_valid, axis=-1)
             img_sim = (jnp.sum(per_img * has_any)
@@ -247,19 +290,17 @@ def make_train_step(config, emb_model=None, cls_model=None):
             metrics["img_sim_loss"] = img_sim
             total = total + img_sim
 
-        # ---- feature affinity (densepose: NN-propagated tags) ----
-        if use_feat_aff:
-            nn_tags = knn.nearest_neighbor_multiset_labels(
-                jax.lax.stop_gradient(cur["prototype_with_loc"]),
-                jax.lax.stop_gradient(cur["prototype_with_loc"]),
-                proto_sem, proto_batch, proto_batch, C,
-                top_k=1, threshold=0.95, prototype_mask=proto_valid)
-            # pixels inherit their segment's propagated tag set
-            pix_nn_tags = jnp.take(nn_tags, pix_own, axis=0)
+        # ---- feature affinity ----
+        # NOTE: the reference CONSTRUCTS feat_aff_loss in every predictor
+        # (segsort_softmax*.py:61-68) but never invokes it — the shipped
+        # DensePose config's "aff 12 / 0.5" is dead code there. We
+        # implement the paper/config semantics: the NN-propagated tag
+        # set-loss at feat_aff concentration/weight.
+        if use_feat_aff and densepose:
             aff = losses.set_segsort_loss(
-                emb_flat.reshape(-1, D), pix_nn_tags, pix_own,
-                cur["prototype"], nn_tags, tcfg.feat_aff_concentration,
-                pix_valid, proto_valid)
+                emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
+                all_protos, occ_proto_tags, tcfg.feat_aff_concentration,
+                pix_valid, all_valid)
             aff = aff * tcfg.feat_aff_loss_weight
             metrics["feat_aff_loss"] = aff
             total = total + aff

@@ -1,0 +1,126 @@
+"""Fused Pallas segsort loss vs the dense XLA formulation (values AND
+gradients). Runs in interpret mode on CPU; the same code compiles on TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spml_tpu.ops import losses
+from spml_tpu.ops.pallas import segsort_loss as fused
+from tests import oracles
+
+
+def _problem(rng, n=300, p=40, d=16, c=5):
+    emb = oracles.normalize(rng.randn(n, d)).astype(np.float32)
+    protos = oracles.normalize(rng.randn(p, d)).astype(np.float32)
+    proto_sem = rng.randint(0, c + 2, size=p).astype(np.int32)
+    proto_valid = rng.rand(p) > 0.2
+    own = rng.randint(0, p, size=n).astype(np.int32)
+    sem = proto_sem[own]
+    pixel_mask = (sem < c) & proto_valid[own]
+    return (jnp.asarray(emb), jnp.asarray(sem), jnp.asarray(own),
+            jnp.asarray(protos), jnp.asarray(proto_sem),
+            jnp.asarray(pixel_mask), jnp.asarray(proto_valid))
+
+
+def test_fused_matches_dense_forward():
+    rng = np.random.RandomState(0)
+    emb, sem, own, protos, proto_sem, pmask, pvalid = _problem(rng)
+    dense = losses.segsort_loss(emb, sem, own, protos, proto_sem, 6.0,
+                                pmask, pvalid & (proto_sem < 5))
+    fused_val = fused.fused_segsort_loss(
+        emb, sem, own, protos, jnp.where(proto_sem < 5, proto_sem, -1),
+        6.0, pmask, pvalid, interpret=True)
+    np.testing.assert_allclose(float(fused_val), float(dense), rtol=1e-5)
+
+
+def test_fused_matches_dense_gradients():
+    rng = np.random.RandomState(1)
+    emb, sem, own, protos, proto_sem, pmask, pvalid = _problem(
+        rng, n=256, p=24)
+
+    def dense_fn(e, p):
+        return losses.segsort_loss(e, sem, own, p, proto_sem, 6.0,
+                                   pmask, pvalid & (proto_sem < 5))
+
+    def fused_fn(e, p):
+        return fused.fused_segsort_loss(
+            e, sem, own, p, jnp.where(proto_sem < 5, proto_sem, -1),
+            6.0, pmask, pvalid, interpret=True)
+
+    gd_e, gd_p = jax.grad(dense_fn, argnums=(0, 1))(emb, protos)
+    gf_e, gf_p = jax.grad(fused_fn, argnums=(0, 1))(emb, protos)
+    np.testing.assert_allclose(np.asarray(gf_e), np.asarray(gd_e),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gd_p),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_fused_padding_invariance():
+    """Different (already-aligned vs ragged) sizes give identical results
+    for the covered rows."""
+    rng = np.random.RandomState(2)
+    emb, sem, own, protos, proto_sem, pmask, pvalid = _problem(
+        rng, n=256, p=512)
+    v1 = fused.fused_segsort_loss(
+        emb, sem, own, protos, jnp.where(proto_sem < 5, proto_sem, -1),
+        6.0, pmask, pvalid, interpret=True)
+    # add ragged padding-sized junk prototypes marked invalid
+    extra = jnp.asarray(oracles.normalize(
+        rng.randn(37, emb.shape[1])).astype(np.float32))
+    protos2 = jnp.concatenate([protos, extra], 0)
+    plab2 = jnp.concatenate(
+        [jnp.where(proto_sem < 5, proto_sem, -1),
+         jnp.full((37,), 3, jnp.int32)], 0)
+    pvalid2 = jnp.concatenate([pvalid, jnp.zeros((37,), bool)], 0)
+    v2 = fused.fused_segsort_loss(emb, sem, own, protos2, plab2, 6.0,
+                                  pmask, pvalid2, interpret=True)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+
+
+def test_train_step_with_fused_loss_matches_dense():
+    """Full train step with tpu.use_fused_loss on vs off: identical loss
+    (interpret-mode Pallas on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from unittest import mock
+
+    from spml_tpu.config import load_config
+    from spml_tpu.ops.pallas import segsort_loss as fused_mod
+    from spml_tpu.train import step as step_lib
+
+    overrides = {
+        "network": {"backbone_types": "panoptic_deeplab_10",
+                    "embedding_dim": 8, "kmeans_num_clusters": [2, 2],
+                    "kmeans_iterations": 2},
+        "dataset": {"num_classes": 4},
+        "train": {"batch_size": 2, "crop_size": [32, 32],
+                  "memory_bank_size": 1, "max_iteration": 100,
+                  "warmup_iteration": 10},
+        "tpu": {"segment_capacity": 32, "compute_dtype": "float32"},
+    }
+    rng = np.random.RandomState(3)
+    batch = {
+        "image": jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32),
+        "semantic_label": jnp.asarray(rng.randint(0, 5, (2, 32, 32)),
+                                      jnp.int32),
+        "instance_label": jnp.asarray(rng.randint(0, 3, (2, 32, 32)),
+                                      jnp.int32),
+        "semantic_tag": jnp.asarray(rng.rand(2, 256) > 0.6, jnp.int32),
+    }
+    results = {}
+    orig = fused_mod.fused_segsort_loss
+    with mock.patch.object(
+            fused_mod, "fused_segsort_loss",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        for use_fused in (False, True):
+            cfg = load_config(overrides=overrides)
+            cfg.tpu.use_fused_loss = use_fused
+            state = step_lib.init_state(cfg, jax.random.PRNGKey(0),
+                                        jnp.zeros((2, 32, 32, 3)))
+            step = step_lib.make_train_step(cfg)  # no jit: allow mock
+            _, metrics = step(state, batch)
+            results[use_fused] = float(metrics["loss"])
+    np.testing.assert_allclose(results[True], results[False], rtol=1e-5)

@@ -160,3 +160,34 @@ def test_empty_segments_do_not_nan_gradients():
     assert int(metrics["num_segments"]) < 64
     for leaf in jax.tree.leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_densepose_step_runs_with_nn_tags():
+    """DensePose variant: NN-propagated tags drive sem_occ/feat_aff;
+    color+location local features; plain-embedding img_sim."""
+    cfg = load_config(overrides={
+        "network": {"backbone_types": "panoptic_pspnet_101_densepose",
+                    "embedding_dim": 8, "kmeans_num_clusters": [2, 2],
+                    "kmeans_iterations": 2},
+        "dataset": {"num_classes": 15},
+        "train": {"batch_size": 2, "crop_size": [32, 32],
+                  "memory_bank_size": 0, "max_iteration": 100,
+                  "warmup_iteration": 10,
+                  "sem_occ_loss_types": "none",
+                  "feat_aff_loss_types": "segsort",
+                  "feat_aff_concentration": 12.0,
+                  "feat_aff_loss_weight": 0.5},
+        "tpu": {"segment_capacity": 32, "compute_dtype": "float32"},
+    })
+    rng = np.random.RandomState(7)
+    img = jnp.zeros((2, 32, 32, 3))
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    # densepose local features: 2 loc + 3 color
+    assert state.memory.prototype_with_loc.shape[-1] == 8 + 5
+    step = jax.jit(step_lib.make_train_step(cfg))
+    batch = _batch(rng, 2, 32, c=15)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "feat_aff_loss" in metrics
+    assert np.isfinite(float(metrics["feat_aff_loss"]))
+    assert "sem_occ_loss" not in metrics
