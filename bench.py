@@ -24,10 +24,14 @@ def main():
     from spml_tpu.parallel import mesh as mesh_lib
     from spml_tpu.train import step as step_lib
 
+    # batch 8 + fused Pallas loss is the measured per-chip sweet spot
+    # (38 imgs/s vs 34 at the reference's batch 4; larger batches grow
+    # the prototype set linearly and the loss cost superlinearly)
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
-        if "--batch" in sys.argv else 4
+        if "--batch" in sys.argv else 8
     crop = int(sys.argv[sys.argv.index("--crop") + 1]) \
         if "--crop" in sys.argv else 512
+    fused = "--no-fused" not in sys.argv
 
     cfg = load_config(overrides={
         "network": {"backbone_types": "panoptic_deeplab_101",
@@ -44,7 +48,8 @@ def main():
                   "sem_ann_loss_weight": 1.0,
                   "sem_occ_loss_weight": 0.5,
                   "img_sim_loss_weight": 0.1},
-        "tpu": {"segment_capacity": 256, "compute_dtype": "bfloat16"},
+        "tpu": {"segment_capacity": 256, "compute_dtype": "bfloat16",
+                "use_fused_loss": fused},
     })
 
     n_dev = 1

@@ -274,3 +274,216 @@ def fused_segsort_loss(embeddings, semantic_labels, own_segment_ids,
     ll = -jnp.log(numerator / denominator)
     m = pixel_mask.astype(jnp.float32)
     return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Set (multi-hot tag) variant — SetSegSortLoss (reference loss.py:85-130)
+# ---------------------------------------------------------------------------
+
+def _set_stats_kernel(kappa, emb_ref, pix_tag_ref, own_ref, protos_ref,
+                      proto_tag_ref, proto_valid_ref, own_out, same_out,
+                      diff_out):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        own_out[...] = jnp.zeros_like(own_out)
+        same_out[...] = jnp.zeros_like(same_out)
+        diff_out[...] = jnp.zeros_like(diff_out)
+
+    logits = jax.lax.dot_general(
+        emb_ref[...], protos_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims = jnp.exp(logits * kappa)
+
+    affinity = jax.lax.dot_general(
+        pix_tag_ref[...], proto_tag_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    valid = proto_valid_ref[0, :][None, :] > 0
+    same = (affinity > 0) & valid
+    diff = (affinity == 0) & valid
+
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + j * BLOCK_P
+    own_mask = col == own_ref[0, :][:, None]
+
+    own_out[0, :] += jnp.sum(jnp.where(own_mask, sims, 0.0), axis=1)
+    same_out[0, :] += jnp.sum(jnp.where(same, sims, 0.0), axis=1)
+    diff_out[0, :] += jnp.sum(jnp.where(diff, sims, 0.0), axis=1)
+
+
+def _set_grad_kernel(kappa, transpose, emb_ref, pix_tag_ref, own_ref,
+                     g_own_ref, g_same_ref, g_diff_ref, protos_ref,
+                     proto_tag_ref, proto_valid_ref, out_ref):
+    inner = pl.program_id(1)
+
+    @pl.when(inner == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    logits = jax.lax.dot_general(
+        emb_ref[...], protos_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims = jnp.exp(logits * kappa)
+
+    affinity = jax.lax.dot_general(
+        pix_tag_ref[...], proto_tag_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    valid = proto_valid_ref[0, :][None, :] > 0
+    same = (affinity > 0) & valid
+    diff = (affinity == 0) & valid
+
+    if transpose:
+        j = pl.program_id(0)
+    else:
+        j = inner
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + j * BLOCK_P
+    own_mask = col == own_ref[0, :][:, None]
+
+    g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
+         + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
+         + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
+    c = kappa * sims * g
+    if transpose:
+        out_ref[...] += jax.lax.dot_general(
+            c, emb_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        out_ref[...] += jax.lax.dot_general(
+            c, protos_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
+                        proto_valid, kappa, interpret):
+    n, d = emb.shape
+    p = protos.shape[0]
+    kernel = functools.partial(_set_stats_kernel, kappa)
+    own, same, diff = pl.pallas_call(
+        kernel,
+        grid=(n // BLOCK_N, p // BLOCK_P),
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((BLOCK_N, pix_tags.shape[1]),
+                         lambda i, j: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((BLOCK_P, proto_tags.shape[1]),
+                         lambda i, j: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 3,
+        interpret=interpret,
+    )(emb, pix_tags, own_idx[None], protos, proto_tags, proto_valid[None])
+    return own[0], same[0], diff[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def set_segsort_stats(emb, pix_tags, own_idx, protos, proto_tags,
+                      proto_valid, kappa, interpret=False):
+    """(own, same_sum, diff_sum) with multi-hot tag membership.
+
+    pix_tags [N, T] / proto_tags [P, T] float32; same-class means the tag
+    sets intersect; proto_valid [P] int32 gates both sums.
+    """
+    return _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
+                               proto_valid, kappa, interpret)
+
+
+def _set_stats_fwd(emb, pix_tags, own_idx, protos, proto_tags, proto_valid,
+                   kappa, interpret):
+    out = _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
+                              proto_valid, kappa, interpret)
+    return out, (emb, pix_tags, own_idx, protos, proto_tags, proto_valid)
+
+
+def _set_stats_bwd(kappa, interpret, residuals, grads):
+    emb, pix_tags, own_idx, protos, proto_tags, proto_valid = residuals
+    g_own, g_same, g_diff = grads
+    n, d = emb.shape
+    p = protos.shape[0]
+    t = pix_tags.shape[1]
+
+    common_in = [
+        emb, pix_tags, own_idx[None], g_own[None], g_same[None],
+        g_diff[None], protos, proto_tags, proto_valid[None]]
+
+    de = pl.pallas_call(
+        functools.partial(_set_grad_kernel, kappa, False),
+        grid=(n // BLOCK_N, p // BLOCK_P),
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((BLOCK_N, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((BLOCK_P, t), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(*common_in)
+
+    dp = pl.pallas_call(
+        functools.partial(_set_grad_kernel, kappa, True),
+        grid=(p // BLOCK_P, n // BLOCK_N),
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, d), lambda j, i: (i, 0)),
+            pl.BlockSpec((BLOCK_N, t), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
+            pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
+            pl.BlockSpec((BLOCK_P, t), lambda j, i: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, d), jnp.float32),
+        interpret=interpret,
+    )(*common_in)
+
+    return de, None, None, dp, None, None
+
+
+set_segsort_stats.defvjp(_set_stats_fwd, _set_stats_bwd)
+
+
+def fused_set_segsort_loss(embeddings, semantic_tags, own_segment_ids,
+                           prototypes, prototype_semantic_tags,
+                           concentration, pixel_mask, prototype_mask,
+                           interpret=False):
+    """Drop-in replacement for spml_tpu.ops.losses.set_segsort_loss."""
+    n0 = embeddings.shape[0]
+    emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
+    # zero-pad the tag width to a lane-friendly 128 (doesn't change dots)
+    ptags = _pad_to(_pad_to(semantic_tags.astype(jnp.float32), 128, 1),
+                    BLOCK_N, 0)
+    own = _pad_to(own_segment_ids.astype(jnp.int32), BLOCK_N, 0)
+    protos = _pad_to(prototypes.astype(jnp.float32), BLOCK_P, 0)
+    qtags = _pad_to(_pad_to(prototype_semantic_tags.astype(jnp.float32),
+                            128, 1), BLOCK_P, 0)
+    pvalid = _pad_to(prototype_mask.astype(jnp.int32), BLOCK_P, 0)
+
+    own_s, same_s, diff_s = set_segsort_stats(
+        emb, ptags, own, protos, qtags, pvalid, float(concentration),
+        interpret)
+    own_s, same_s, diff_s = own_s[:n0], same_s[:n0], diff_s[:n0]
+
+    same_minus = same_s - own_s
+    numerator = jnp.where(same_minus > 0, same_minus, own_s)
+    denominator = diff_s + numerator
+    ll = -jnp.log(numerator / denominator)
+    m = pixel_mask.astype(jnp.float32)
+    return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)

@@ -66,6 +66,33 @@ def _log_metrics(writer, metrics, step, prefix=""):
                 writer.add_scalar(prefix + k, float(v), step)
 
 
+def _log_images(writer, config, emb_model, state, batch, step):
+    """Tensorboard image panels: colorized semantic/instance labels +
+    PCA-RGB embeddings (reference train.py:222-258 + vis.py:15-101)."""
+    if writer is None:
+        return
+    try:
+        emb, _ = emb_model.apply(
+            {"params": state.params["embedding"],
+             "batch_stats": state.batch_stats["embedding"]},
+            batch["image"][:2], train=False)
+        emb_rgb = vis.embedding_to_rgb(np.asarray(emb))
+        cmap = vis.load_color_map(config.dataset.color_map_path)
+        sem_rgb = vis.label_to_color(
+            np.asarray(batch["semantic_label"][:2]), cmap)
+        inst_rgb = vis.label_to_color(
+            np.asarray(batch["instance_label"][:2]) % 256, cmap)
+        for i in range(emb_rgb.shape[0]):
+            writer.add_image(f"embedding_pca/{i}", emb_rgb[i],
+                             step, dataformats="HWC")
+            writer.add_image(f"semantic_label/{i}", sem_rgb[i],
+                             step, dataformats="HWC")
+            writer.add_image(f"instance_label/{i}", inst_rgb[i],
+                             step, dataformats="HWC")
+    except Exception as e:  # pragma: no cover - vis is best-effort
+        print(f"image logging skipped: {e}")
+
+
 def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
     """Main SPML contrastive training (reference train.py)."""
     n_dev = max(1, len(jax.devices()))
@@ -99,6 +126,7 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
         state = _load_pretrained(config, state)
 
     state = mesh_lib.device_put_replicated(state, mesh)
+    emb_model, _ = step_lib.build_models(config)
     train_step = mesh_lib.shard_train_step(
         step_lib.make_train_step(config), mesh)
     writer = _writer(args.snapshot_dir)
@@ -116,6 +144,7 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
                 global_batch * config.train.tensorboard_step / dt
                 if it > start else global_batch / dt)
             _log_metrics(writer, metrics, it)
+            _log_images(writer, config, emb_model, state, batch, it)
             t0 = time.time()
         if ((it + 1) % config.train.snapshot_step == 0
                 or it == config.train.max_iteration - 1):

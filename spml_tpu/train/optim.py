@@ -133,3 +133,13 @@ def make_optimizer(params, train_cfg,
         group_scale,
         optax.scale_by_learning_rate(schedule),  # scales by -lr(step)
     )
+
+
+def clip_grads(grads, clip_value: float):
+    """Elementwise gradient clamp to [-clip_value, clip_value].
+
+    Reference: lib/nn/optimizer.py:182-197 (clip_grad) in twke18/SPML —
+    provided for parity; the reference train scripts don't enable it.
+    """
+    return jax.tree.map(
+        lambda g: jnp.clip(g, -clip_value, clip_value), grads)

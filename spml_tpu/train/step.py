@@ -259,10 +259,18 @@ def make_train_step(config, emb_model=None, cls_model=None):
             occ_pix_tags = pix_tag[:, 1:C]
 
         if use_sem_occ:
-            occ = losses.set_segsort_loss(
-                emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
-                all_protos, occ_proto_tags, tcfg.sem_occ_concentration,
-                pix_valid, all_valid)
+            if config.tpu.use_fused_loss:
+                from spml_tpu.ops.pallas.segsort_loss import \
+                    fused_set_segsort_loss
+                occ = fused_set_segsort_loss(
+                    emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
+                    all_protos, occ_proto_tags,
+                    tcfg.sem_occ_concentration, pix_valid, all_valid)
+            else:
+                occ = losses.set_segsort_loss(
+                    emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
+                    all_protos, occ_proto_tags,
+                    tcfg.sem_occ_concentration, pix_valid, all_valid)
             occ = occ * tcfg.sem_occ_loss_weight
             metrics["sem_occ_loss"] = occ
             total = total + occ

@@ -112,9 +112,13 @@ def test_train_step_with_fused_loss_matches_dense():
     }
     results = {}
     orig = fused_mod.fused_segsort_loss
+    orig_set = fused_mod.fused_set_segsort_loss
     with mock.patch.object(
             fused_mod, "fused_segsort_loss",
-            lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})), \
+        mock.patch.object(
+            fused_mod, "fused_set_segsort_loss",
+            lambda *a, **k: orig_set(*a, **{**k, "interpret": True})):
         for use_fused in (False, True):
             cfg = load_config(overrides=overrides)
             cfg.tpu.use_fused_loss = use_fused
@@ -124,3 +128,39 @@ def test_train_step_with_fused_loss_matches_dense():
             _, metrics = step(state, batch)
             results[use_fused] = float(metrics["loss"])
     np.testing.assert_allclose(results[True], results[False], rtol=1e-5)
+
+
+def test_fused_set_matches_dense():
+    rng = np.random.RandomState(4)
+    n, p, d, c = 300, 40, 16, 5
+    emb = jnp.asarray(oracles.normalize(rng.randn(n, d)).astype(np.float32))
+    protos = jnp.asarray(
+        oracles.normalize(rng.randn(p, d)).astype(np.float32))
+    own = jnp.asarray(rng.randint(0, p, n).astype(np.int32))
+    proto_tags = jnp.asarray((rng.rand(p, c) > 0.5).astype(np.int32))
+    tags = jnp.take(proto_tags, own, axis=0)
+    pvalid = jnp.asarray(rng.rand(p) > 0.25)
+    pmask = jnp.ones(n, bool)
+
+    dense = losses.set_segsort_loss(emb, tags, own, protos, proto_tags,
+                                    8.0, pmask, pvalid)
+    fused_val = fused.fused_set_segsort_loss(
+        emb, tags, own, protos, proto_tags, 8.0, pmask, pvalid,
+        interpret=True)
+    np.testing.assert_allclose(float(fused_val), float(dense), rtol=1e-5)
+
+    # gradients
+    def dense_fn(e, p_):
+        return losses.set_segsort_loss(e, tags, own, p_, proto_tags, 8.0,
+                                       pmask, pvalid)
+
+    def fused_fn(e, p_):
+        return fused.fused_set_segsort_loss(e, tags, own, p_, proto_tags,
+                                            8.0, pmask, pvalid,
+                                            interpret=True)
+
+    gd = jax.grad(dense_fn, argnums=(0, 1))(emb, protos)
+    gf = jax.grad(fused_fn, argnums=(0, 1))(emb, protos)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
