@@ -130,6 +130,39 @@ def make_train_step(config, emb_model=None, cls_model=None):
         h, w = emb.shape[1], emb.shape[2]
         N = h * w
         D = emb.shape[-1]
+
+        if config.network.prediction_types == "softmax_classifier":
+            # Fully-supervised baseline: CE trains the backbone
+            # end-to-end, no clustering / contrastive losses
+            # (softmax_classifier.py:50-90 — embeddings NOT detached).
+            cls_in = common.normalize_embedding(emb.astype(jnp.float32))
+            logits, cls_mut = cls_model.apply(
+                {"params": params["prediction"],
+                 "batch_stats": batch_stats["prediction"]},
+                cls_in, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            logits_up = resize_bilinear(
+                logits, (images.shape[1], images.shape[2]))
+            ce = _cross_entropy(logits_up, batch["semantic_label"], C,
+                                ignore)
+            pred = jnp.argmax(logits_up, axis=-1)
+            valid = batch["semantic_label"] < C
+            acc = (jnp.sum((pred == batch["semantic_label"]) & valid)
+                   / jnp.maximum(jnp.sum(valid), 1))
+            new_stats = {"embedding": emb_mut["batch_stats"],
+                         "prediction": cls_mut["batch_stats"]}
+            dummy = dict(
+                prototype=jnp.zeros((1, D)),
+                prototype_with_loc=jnp.zeros(
+                    (1, D + loc.shape[-1])),
+                semantic_label=jnp.zeros((1,), jnp.int32),
+                instance_label=jnp.zeros((1,), jnp.int32),
+                batch_index=jnp.zeros((1,), jnp.int32),
+                tag=jnp.zeros((1, tag_w), jnp.int32),
+                valid=jnp.zeros((1,), bool))
+            return ce, ({"sem_ann_loss": ce, "accuracy": acc},
+                        new_stats, dummy)
+
         sem = common.resize_labels(batch["semantic_label"], (h, w))
         inst = common.resize_labels(batch["instance_label"], (h, w))
 
@@ -337,11 +370,14 @@ def make_train_step(config, emb_model=None, cls_model=None):
         new_params = optax.apply_updates(state.params, updates)
 
         b_global = batch["image"].shape[0]
-        new_memory = state.memory.push(
-            jax.lax.stop_gradient(cur["prototype"]),
-            jax.lax.stop_gradient(cur["prototype_with_loc"]),
-            cur["semantic_label"], cur["instance_label"],
-            cur["batch_index"], cur["tag"], cur["valid"], b_global)
+        if config.network.prediction_types == "softmax_classifier":
+            new_memory = state.memory  # no prototypes in baseline mode
+        else:
+            new_memory = state.memory.push(
+                jax.lax.stop_gradient(cur["prototype"]),
+                jax.lax.stop_gradient(cur["prototype_with_loc"]),
+                cur["semantic_label"], cur["instance_label"],
+                cur["batch_index"], cur["tag"], cur["valid"], b_global)
 
         metrics["loss"] = total
         metrics["learning_rate"] = schedule(state.step)

@@ -191,3 +191,24 @@ def test_densepose_step_runs_with_nn_tags():
     assert "feat_aff_loss" in metrics
     assert np.isfinite(float(metrics["feat_aff_loss"]))
     assert "sem_occ_loss" not in metrics
+
+
+def test_softmax_classifier_prediction_mode():
+    """prediction_types='softmax_classifier': CE-only end-to-end baseline
+    (reference train.py:92-93 + softmax_classifier.py, no detach)."""
+    cfg = _tiny_config()
+    cfg.network.prediction_types = "softmax_classifier"
+    rng = np.random.RandomState(9)
+    img = jnp.zeros((2, 32, 32, 3))
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    step = jax.jit(step_lib.make_train_step(cfg))
+    p0 = state.params
+    state, metrics = step(state, _batch(rng, 2, 32))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "img_sim_loss" not in metrics
+    # CE gradient reaches the backbone (res3 moved)
+    r3_0 = jax.tree.leaves(p0["embedding"]["resnet_backbone"]["res3"])
+    r3_1 = jax.tree.leaves(
+        state.params["embedding"]["resnet_backbone"]["res3"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(r3_0, r3_1))
