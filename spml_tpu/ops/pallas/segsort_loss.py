@@ -487,3 +487,265 @@ def fused_set_segsort_loss(embeddings, semantic_tags, own_segment_ids,
     ll = -jnp.log(numerator / denominator)
     m = pixel_mask.astype(jnp.float32)
     return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Joint kernel: sem_ann (hard labels, kappa_a) + sem_occ (tags, kappa_o)
+# share one logits matmul and one HBM sweep — the two losses always see
+# the same embeddings/prototypes in the SPML step.
+# ---------------------------------------------------------------------------
+
+def _joint_stats_kernel(kappa_a, kappa_o, emb_ref, pix_lab_ref, own_ref,
+                        pix_tag_ref, protos_ref, proto_lab_ref,
+                        proto_tag_ref, proto_valid_ref,
+                        own_a_out, same_a_out, diff_a_out,
+                        own_o_out, same_o_out, diff_o_out):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        for ref in (own_a_out, same_a_out, diff_a_out,
+                    own_o_out, same_o_out, diff_o_out):
+            ref[...] = jnp.zeros_like(ref)
+
+    logits = jax.lax.dot_general(
+        emb_ref[...], protos_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims_a = jnp.exp(logits * kappa_a)
+    sims_o = jnp.exp(logits * kappa_o)
+
+    pix_lab = pix_lab_ref[0, :]
+    proto_lab = proto_lab_ref[0, :]
+    lab_valid = (proto_lab >= 0)[None, :]
+    same_a = (pix_lab[:, None] == proto_lab[None, :]) & lab_valid
+    diff_a = (pix_lab[:, None] != proto_lab[None, :]) & lab_valid
+
+    affinity = jax.lax.dot_general(
+        pix_tag_ref[...], proto_tag_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    tag_valid = proto_valid_ref[0, :][None, :] > 0
+    same_o = (affinity > 0) & tag_valid
+    diff_o = (affinity == 0) & tag_valid
+
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * BLOCK_P
+    own_mask = col == own_ref[0, :][:, None]
+
+    own_a_out[0, :] += jnp.sum(jnp.where(own_mask, sims_a, 0.0), axis=1)
+    same_a_out[0, :] += jnp.sum(jnp.where(same_a, sims_a, 0.0), axis=1)
+    diff_a_out[0, :] += jnp.sum(jnp.where(diff_a, sims_a, 0.0), axis=1)
+    own_o_out[0, :] += jnp.sum(jnp.where(own_mask, sims_o, 0.0), axis=1)
+    same_o_out[0, :] += jnp.sum(jnp.where(same_o, sims_o, 0.0), axis=1)
+    diff_o_out[0, :] += jnp.sum(jnp.where(diff_o, sims_o, 0.0), axis=1)
+
+
+def _joint_grad_kernel(kappa_a, kappa_o, transpose, emb_ref, pix_lab_ref,
+                       own_ref, pix_tag_ref,
+                       ga_own_ref, ga_same_ref, ga_diff_ref,
+                       go_own_ref, go_same_ref, go_diff_ref,
+                       protos_ref, proto_lab_ref, proto_tag_ref,
+                       proto_valid_ref, out_ref):
+    inner = pl.program_id(1)
+
+    @pl.when(inner == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    logits = jax.lax.dot_general(
+        emb_ref[...], protos_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims_a = jnp.exp(logits * kappa_a)
+    sims_o = jnp.exp(logits * kappa_o)
+
+    pix_lab = pix_lab_ref[0, :]
+    proto_lab = proto_lab_ref[0, :]
+    lab_valid = (proto_lab >= 0)[None, :]
+    same_a = (pix_lab[:, None] == proto_lab[None, :]) & lab_valid
+    diff_a = (pix_lab[:, None] != proto_lab[None, :]) & lab_valid
+
+    affinity = jax.lax.dot_general(
+        pix_tag_ref[...], proto_tag_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    tag_valid = proto_valid_ref[0, :][None, :] > 0
+    same_o = (affinity > 0) & tag_valid
+    diff_o = (affinity == 0) & tag_valid
+
+    if transpose:
+        j = pl.program_id(0)
+    else:
+        j = inner
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * BLOCK_P
+    own_mask = col == own_ref[0, :][:, None]
+
+    g_a = (jnp.where(own_mask, ga_own_ref[0, :][:, None], 0.0)
+           + jnp.where(same_a, ga_same_ref[0, :][:, None], 0.0)
+           + jnp.where(diff_a, ga_diff_ref[0, :][:, None], 0.0))
+    g_o = (jnp.where(own_mask, go_own_ref[0, :][:, None], 0.0)
+           + jnp.where(same_o, go_same_ref[0, :][:, None], 0.0)
+           + jnp.where(diff_o, go_diff_ref[0, :][:, None], 0.0))
+    c = kappa_a * sims_a * g_a + kappa_o * sims_o * g_o
+    if transpose:
+        out_ref[...] += jax.lax.dot_general(
+            c, emb_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        out_ref[...] += jax.lax.dot_general(
+            c, protos_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _joint_in_specs(d, t, transpose):
+    if transpose:
+        def row(i_, j_): return (j_, 0)  # noqa: E704
+        def vec(i_, j_): return (0, j_)  # noqa: E704
+        def prow(i_, j_): return (i_, 0)  # noqa: E704
+        def pvec(i_, j_): return (0, i_)  # noqa: E704
+    else:
+        def row(i_, j_): return (i_, 0)  # noqa: E704
+        def vec(i_, j_): return (0, i_)  # noqa: E704
+        def prow(i_, j_): return (j_, 0)  # noqa: E704
+        def pvec(i_, j_): return (0, j_)  # noqa: E704
+    return [
+        pl.BlockSpec((BLOCK_N, d), row),
+        pl.BlockSpec((1, BLOCK_N), vec),
+        pl.BlockSpec((1, BLOCK_N), vec),
+        pl.BlockSpec((BLOCK_N, t), row),
+        pl.BlockSpec((1, BLOCK_N), vec),
+        pl.BlockSpec((1, BLOCK_N), vec),
+        pl.BlockSpec((1, BLOCK_N), vec),
+        pl.BlockSpec((1, BLOCK_N), vec),
+        pl.BlockSpec((1, BLOCK_N), vec),
+        pl.BlockSpec((1, BLOCK_N), vec),
+        pl.BlockSpec((BLOCK_P, d), prow),
+        pl.BlockSpec((1, BLOCK_P), pvec),
+        pl.BlockSpec((BLOCK_P, t), prow),
+        pl.BlockSpec((1, BLOCK_P), pvec),
+    ]
+
+
+def _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
+                    proto_tags, proto_valid, kappa_a, kappa_o, interpret):
+    n, d = emb.shape
+    p = protos.shape[0]
+    t = pix_tags.shape[1]
+    outs = pl.pallas_call(
+        functools.partial(_joint_stats_kernel, kappa_a, kappa_o),
+        grid=(n // BLOCK_N, p // BLOCK_P),
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
+            pl.BlockSpec((BLOCK_N, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
+            pl.BlockSpec((BLOCK_P, t), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
+        ],
+        out_specs=[pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i))] * 6,
+        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 6,
+        interpret=interpret,
+    )(emb, pix_lab[None], own_idx[None], pix_tags, protos,
+      proto_lab[None], proto_tags, proto_valid[None])
+    return tuple(o[0] for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def joint_segsort_stats(emb, pix_lab, own_idx, pix_tags, protos,
+                        proto_lab, proto_tags, proto_valid,
+                        kappa_a, kappa_o, interpret=False):
+    """Six stats in one sweep: (own_a, same_a, diff_a) for the hard-label
+    loss at kappa_a and (own_o, same_o, diff_o) for the tag loss at
+    kappa_o."""
+    return _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos,
+                           proto_lab, proto_tags, proto_valid, kappa_a,
+                           kappa_o, interpret)
+
+
+def _joint_fwd(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
+               proto_tags, proto_valid, kappa_a, kappa_o, interpret):
+    out = _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos,
+                          proto_lab, proto_tags, proto_valid, kappa_a,
+                          kappa_o, interpret)
+    return out, (emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
+                 proto_tags, proto_valid)
+
+
+def _joint_bwd(kappa_a, kappa_o, interpret, residuals, grads):
+    (emb, pix_lab, own_idx, pix_tags, protos, proto_lab, proto_tags,
+     proto_valid) = residuals
+    ga_own, ga_same, ga_diff, go_own, go_same, go_diff = grads
+    n, d = emb.shape
+    p = protos.shape[0]
+    t = pix_tags.shape[1]
+
+    ins = [emb, pix_lab[None], own_idx[None], pix_tags,
+           ga_own[None], ga_same[None], ga_diff[None],
+           go_own[None], go_same[None], go_diff[None],
+           protos, proto_lab[None], proto_tags, proto_valid[None]]
+
+    de = pl.pallas_call(
+        functools.partial(_joint_grad_kernel, kappa_a, kappa_o, False),
+        grid=(n // BLOCK_N, p // BLOCK_P),
+        in_specs=_joint_in_specs(d, t, False),
+        out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(*ins)
+
+    dp = pl.pallas_call(
+        functools.partial(_joint_grad_kernel, kappa_a, kappa_o, True),
+        grid=(p // BLOCK_P, n // BLOCK_N),
+        in_specs=_joint_in_specs(d, t, True),
+        out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, d), jnp.float32),
+        interpret=interpret,
+    )(*ins)
+
+    return de, None, None, None, dp, None, None, None
+
+
+joint_segsort_stats.defvjp(_joint_fwd, _joint_bwd)
+
+
+def _ll_from_stats(own_s, same_s, diff_s, pixel_mask):
+    same_minus = same_s - own_s
+    numerator = jnp.where(same_minus > 0, same_minus, own_s)
+    denominator = diff_s + numerator
+    ll = -jnp.log(numerator / denominator)
+    m = pixel_mask.astype(jnp.float32)
+    return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
+                       semantic_tags, prototypes, prototype_labels,
+                       prototype_tags, kappa_ann, kappa_occ,
+                       ann_pixel_mask, occ_pixel_mask, prototype_mask,
+                       interpret=False):
+    """(sem_ann, sem_occ) masked-mean losses in one fused sweep.
+
+    prototype_labels must already be -1 for prototypes excluded from the
+    hard-label loss; prototype_mask gates the tag loss.
+    """
+    n0 = embeddings.shape[0]
+    emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
+    lab = _pad_to(semantic_labels.astype(jnp.int32), BLOCK_N, 0, value=-1)
+    own = _pad_to(own_segment_ids.astype(jnp.int32), BLOCK_N, 0)
+    ptags = _pad_to(_pad_to(semantic_tags.astype(jnp.float32), 128, 1),
+                    BLOCK_N, 0)
+    protos = _pad_to(prototypes.astype(jnp.float32), BLOCK_P, 0)
+    plab = _pad_to(prototype_labels.astype(jnp.int32), BLOCK_P, 0,
+                   value=-1)
+    qtags = _pad_to(_pad_to(prototype_tags.astype(jnp.float32), 128, 1),
+                    BLOCK_P, 0)
+    pvalid = _pad_to(prototype_mask.astype(jnp.int32), BLOCK_P, 0)
+
+    stats = joint_segsort_stats(emb, lab, own, ptags, protos, plab, qtags,
+                                pvalid, float(kappa_ann), float(kappa_occ),
+                                interpret)
+    own_a, same_a, diff_a, own_o, same_o, diff_o = [s[:n0] for s in stats]
+    ann = _ll_from_stats(own_a, same_a, diff_a, ann_pixel_mask)
+    occ = _ll_from_stats(own_o, same_o, diff_o, occ_pixel_mask)
+    return ann, occ

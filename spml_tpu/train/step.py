@@ -86,11 +86,17 @@ def init_state(config, rng, sample_image) -> TrainState:
 
 def _cross_entropy(logits, labels, num_classes, ignore_index):
     """Mean softmax CE over non-ignored pixels (labels >= num_classes are
-    ignored, segsort_softmax.py:122-131)."""
+    ignored, segsort_softmax.py:122-131).
+
+    One-hot multiply-reduce instead of take_along_axis: the minor-dim
+    gather over [B,512,512,C] costs ~32 ms/step on v5e (profiled), the
+    fused one-hot reduce is bandwidth-bound and ~free.
+    """
     valid = labels < num_classes
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    oh = jax.nn.one_hot(safe, num_classes, dtype=logp.dtype)
+    nll = -jnp.sum(logp * oh, axis=-1)
     m = valid.astype(jnp.float32)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -241,27 +247,6 @@ def make_train_step(config, emb_model=None, cls_model=None):
             logits, (images.shape[1], images.shape[2]))
         ce = _cross_entropy(logits_up, batch["semantic_label"], C, ignore)
 
-        if use_sem_ann:
-            if config.tpu.use_fused_loss:
-                from spml_tpu.ops.pallas.segsort_loss import \
-                    fused_segsort_loss
-                ann = fused_segsort_loss(
-                    emb_flat.reshape(-1, D), pix_sem, pix_own, all_protos,
-                    jnp.where(all_valid & (all_sem < C), all_sem, -1),
-                    tcfg.sem_ann_concentration,
-                    pix_valid & (pix_sem < C),
-                    all_valid & (all_sem < C))
-            else:
-                ann = losses.segsort_loss(
-                    emb_flat.reshape(-1, D), pix_sem, pix_own,
-                    all_protos, all_sem, tcfg.sem_ann_concentration,
-                    pix_valid & (pix_sem < C), all_valid & (all_sem < C))
-            sem_ann = (ce + ann) * tcfg.sem_ann_loss_weight
-        else:
-            sem_ann = ce
-        metrics["sem_ann_loss"] = sem_ann
-        total = total + sem_ann
-
         # ---- semantic co-occurrence tags ----
         # VOC: dataset-level multi-hot tags (segsort_softmax.py:146-151).
         # DensePose: per-prototype tags propagated from the nearest
@@ -291,19 +276,56 @@ def make_train_step(config, emb_model=None, cls_model=None):
             occ_proto_tags = all_tag[:, 1:C]
             occ_pix_tags = pix_tag[:, 1:C]
 
-        if use_sem_occ:
-            if config.tpu.use_fused_loss:
-                from spml_tpu.ops.pallas.segsort_loss import \
-                    fused_set_segsort_loss
-                occ = fused_set_segsort_loss(
-                    emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
-                    all_protos, occ_proto_tags,
-                    tcfg.sem_occ_concentration, pix_valid, all_valid)
-            else:
-                occ = losses.set_segsort_loss(
-                    emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
-                    all_protos, occ_proto_tags,
-                    tcfg.sem_occ_concentration, pix_valid, all_valid)
+        # ---- sem_ann (CE + SegSort) and sem_occ losses ----
+        ann_pix_mask = pix_valid & (pix_sem < C)
+        ann_proto_mask = all_valid & (all_sem < C)
+        ann = None
+        occ = None
+        if (config.tpu.use_fused_loss and use_sem_ann and use_sem_occ):
+            # one fused sweep computes both losses' statistics (the two
+            # losses share the same pixel/prototype pairs)
+            from spml_tpu.ops.pallas.segsort_loss import fused_joint_losses
+            ann, occ = fused_joint_losses(
+                emb_flat.reshape(-1, D), pix_sem, pix_own, occ_pix_tags,
+                all_protos, jnp.where(ann_proto_mask, all_sem, -1),
+                occ_proto_tags, tcfg.sem_ann_concentration,
+                tcfg.sem_occ_concentration, ann_pix_mask, pix_valid,
+                all_valid)
+        else:
+            if use_sem_ann:
+                if config.tpu.use_fused_loss:
+                    from spml_tpu.ops.pallas.segsort_loss import \
+                        fused_segsort_loss
+                    ann = fused_segsort_loss(
+                        emb_flat.reshape(-1, D), pix_sem, pix_own,
+                        all_protos,
+                        jnp.where(ann_proto_mask, all_sem, -1),
+                        tcfg.sem_ann_concentration, ann_pix_mask,
+                        ann_proto_mask)
+                else:
+                    ann = losses.segsort_loss(
+                        emb_flat.reshape(-1, D), pix_sem, pix_own,
+                        all_protos, all_sem, tcfg.sem_ann_concentration,
+                        ann_pix_mask, ann_proto_mask)
+            if use_sem_occ:
+                if config.tpu.use_fused_loss:
+                    from spml_tpu.ops.pallas.segsort_loss import \
+                        fused_set_segsort_loss
+                    occ = fused_set_segsort_loss(
+                        emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
+                        all_protos, occ_proto_tags,
+                        tcfg.sem_occ_concentration, pix_valid, all_valid)
+                else:
+                    occ = losses.set_segsort_loss(
+                        emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
+                        all_protos, occ_proto_tags,
+                        tcfg.sem_occ_concentration, pix_valid, all_valid)
+
+        sem_ann = (ce + ann) * tcfg.sem_ann_loss_weight \
+            if ann is not None else ce
+        metrics["sem_ann_loss"] = sem_ann
+        total = total + sem_ann
+        if occ is not None:
             occ = occ * tcfg.sem_occ_loss_weight
             metrics["sem_occ_loss"] = occ
             total = total + occ

@@ -113,12 +113,16 @@ def test_train_step_with_fused_loss_matches_dense():
     results = {}
     orig = fused_mod.fused_segsort_loss
     orig_set = fused_mod.fused_set_segsort_loss
+    orig_joint = fused_mod.fused_joint_losses
     with mock.patch.object(
             fused_mod, "fused_segsort_loss",
             lambda *a, **k: orig(*a, **{**k, "interpret": True})), \
         mock.patch.object(
             fused_mod, "fused_set_segsort_loss",
-            lambda *a, **k: orig_set(*a, **{**k, "interpret": True})):
+            lambda *a, **k: orig_set(*a, **{**k, "interpret": True})), \
+        mock.patch.object(
+            fused_mod, "fused_joint_losses",
+            lambda *a, **k: orig_joint(*a, **{**k, "interpret": True})):
         for use_fused in (False, True):
             cfg = load_config(overrides=overrides)
             cfg.tpu.use_fused_loss = use_fused
@@ -164,3 +168,43 @@ def test_fused_set_matches_dense():
     for a, b in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-7)
+
+
+def test_joint_kernel_matches_separate():
+    """The joint (shared-logits) kernel equals the two separate fused
+    losses in both values and gradients."""
+    rng = np.random.RandomState(6)
+    n, p, d, c, t = 300, 40, 16, 5, 20
+    emb = jnp.asarray(oracles.normalize(rng.randn(n, d)).astype(np.float32))
+    protos = jnp.asarray(
+        oracles.normalize(rng.randn(p, d)).astype(np.float32))
+    proto_sem = jnp.asarray(rng.randint(0, c + 2, p).astype(np.int32))
+    own = jnp.asarray(rng.randint(0, p, n).astype(np.int32))
+    sem = jnp.take(proto_sem, own)
+    proto_tags = jnp.asarray((rng.rand(p, t) > 0.5).astype(np.int32))
+    tags = jnp.take(proto_tags, own, axis=0)
+    pvalid = jnp.asarray(rng.rand(p) > 0.2)
+    ann_mask = (sem < c)
+    occ_mask = jnp.ones(n, bool)
+    ann_plab = jnp.where(pvalid & (proto_sem < c), proto_sem, -1)
+
+    def joint_fn(e, p_):
+        ann, occ = fused.fused_joint_losses(
+            e, sem, own, tags, p_, ann_plab, proto_tags, 6.0, 12.0,
+            ann_mask, occ_mask, pvalid, interpret=True)
+        return ann + 0.5 * occ
+
+    def separate_fn(e, p_):
+        ann = fused.fused_segsort_loss(e, sem, own, p_, ann_plab, 6.0,
+                                       ann_mask, pvalid, interpret=True)
+        occ = fused.fused_set_segsort_loss(e, tags, own, p_, proto_tags,
+                                           12.0, occ_mask, pvalid,
+                                           interpret=True)
+        return ann + 0.5 * occ
+
+    vj, gj = jax.value_and_grad(joint_fn, argnums=(0, 1))(emb, protos)
+    vs, gs = jax.value_and_grad(separate_fn, argnums=(0, 1))(emb, protos)
+    np.testing.assert_allclose(float(vj), float(vs), rtol=1e-6)
+    for a, b in zip(gj, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
