@@ -15,13 +15,16 @@ Behavioral reference in twke18/SPML:
   split with majority ground-truth labels -> {prototype,prototype_label}
   .npy memory banks.
 
-TPU notes: each distinct crop shape compiles once (crop size is fixed by
-config); the stitched map's padded shape is a multiple of the stride so
-the cluster/predict step compiles per bucket, not per image.
+TPU notes: the whole per-image pipeline (patch forward, overlap
+accumulation, clustering, KNN) stays ON DEVICE — only the input patches
+go up and the small prediction/prototype arrays come down. Each distinct
+crop/padded shape compiles once (padded shapes are multiples of the
+stride, so shapes bucket rather than exploding per image).
 """
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 
@@ -46,38 +49,54 @@ class InferenceEngine:
         self.variables = variables
         self.crop = tuple(config.test.crop_size)
         self.stride = tuple(config.test.stride)
-        self._forward = jax.jit(self._forward_impl)
+        self._embed_patch = jax.jit(self._embed_patch_impl)
+        self._accumulate = jax.jit(self._accumulate_impl)
         self._cluster_predict = jax.jit(
             self._cluster_predict_impl, static_argnames=("num_classes",))
+        self._majority = jax.jit(
+            self._majority_impl,
+            static_argnames=("num_segments", "num_bins"))
 
     # -- per-crop forward (compiles once per crop shape) --
-    def _forward_impl(self, image):
+    def _embed_patch_impl(self, image):
         emb, _ = self.emb_model.apply(self.variables, image, train=False,
                                       resize_as_input=True)
         return common.normalize_embedding(emb.astype(jnp.float32))
 
-    def stitched_embeddings(self, image: np.ndarray) -> np.ndarray:
+    @staticmethod
+    def _accumulate_impl(total, counts, emb, sh, sw):
+        cur = jax.lax.dynamic_slice(total, (sh, sw, 0), emb.shape)
+        total = jax.lax.dynamic_update_slice(total, cur + emb,
+                                             (sh, sw, 0))
+        ccur = jax.lax.dynamic_slice(counts, (sh, sw, 0),
+                                     (emb.shape[0], emb.shape[1], 1))
+        counts = jax.lax.dynamic_update_slice(counts, ccur + 1.0,
+                                              (sh, sw, 0))
+        return total, counts
+
+    def stitched_embeddings(self, image: np.ndarray) -> jnp.ndarray:
         """image: [H, W, 3] already resized/normalized; returns
-        overlap-averaged normalized embeddings [Hp, Wp, D] on the padded
-        crop grid."""
+        overlap-averaged normalized embeddings [Hp, Wp, D] ON DEVICE."""
         crop_h, crop_w = self.crop
         img = transforms.resize_with_pad(image, self.crop, 0.0)
         pad_h, pad_w = img.shape[:2]
         ends_h = patch_ends(pad_h, crop_h, self.stride[0])
         ends_w = patch_ends(pad_w, crop_w, self.stride[1])
 
+        img_dev = jnp.asarray(img)
         total = None
-        counts = np.zeros((pad_h, pad_w, 1), np.float32)
+        counts = jnp.zeros((pad_h, pad_w, 1), jnp.float32)
         for eh in ends_h:
             for ew in ends_w:
-                sh, sw = eh - crop_h, ew - crop_w
-                patch = img[sh:eh, sw:ew]
-                emb = np.asarray(self._forward(patch[None]))[0]
+                sh, sw = int(eh - crop_h), int(ew - crop_w)
+                patch = jax.lax.dynamic_slice(
+                    img_dev, (sh, sw, 0), (crop_h, crop_w, 3))
+                emb = self._embed_patch(patch[None])[0]
                 if total is None:
-                    total = np.zeros((pad_h, pad_w, emb.shape[-1]),
-                                     np.float32)
-                total[sh:eh, sw:ew] += emb
-                counts[sh:eh, sw:ew] += 1
+                    total = jnp.zeros((pad_h, pad_w, emb.shape[-1]),
+                                      jnp.float32)
+                total, counts = self._accumulate(total, counts, emb,
+                                                 sh, sw)
         return total / counts
 
     # -- clustering + prediction on the stitched map --
@@ -114,6 +133,21 @@ class InferenceEngine:
         pixel_pred = jnp.take(majority, seg_ids).reshape(h, w)
         return pixel_pred, seg_ids.reshape(h, w), protos, seg_valid, topk
 
+    @staticmethod
+    def _majority_impl(seg_map, labels, valid, num_segments, num_bins: int):
+        """Per-segment label histograms -> majority label (on device)."""
+        oh = common.one_hot(labels.reshape(-1), num_bins)
+        oh = oh * valid.reshape(-1, 1).astype(oh.dtype)
+        counts = common.segment_sum(oh, seg_map.reshape(-1), num_segments)
+        return jnp.argmax(counts, axis=-1).astype(jnp.int32)
+
+    def _fake_labels(self, pad_h, pad_w, h, w):
+        sem = np.zeros((pad_h, pad_w), np.int32)
+        sem[h:, :] = self.config.dataset.semantic_ignore_index
+        sem[:, w:] = self.config.dataset.semantic_ignore_index
+        inst = np.zeros((pad_h, pad_w), np.int32)
+        return jnp.asarray(sem), jnp.asarray(inst)
+
     def predict_semantic(self, image: np.ndarray, memory_protos,
                          memory_labels, memory_valid) -> np.ndarray:
         """Full single-scale KNN inference for one (resized) image.
@@ -121,14 +155,10 @@ class InferenceEngine:
         emb_map = self.stitched_embeddings(image)
         pad_h, pad_w = emb_map.shape[:2]
         h, w = image.shape[:2]
-        sem = np.zeros((pad_h, pad_w), np.int32)
-        sem[h:, :] = self.config.dataset.semantic_ignore_index
-        sem[:, w:] = self.config.dataset.semantic_ignore_index
-        inst = np.zeros((pad_h, pad_w), np.int32)
+        sem, inst = self._fake_labels(pad_h, pad_w, h, w)
         pred, _, _, _, _ = self._cluster_predict(
-            jnp.asarray(emb_map), jnp.asarray(sem), jnp.asarray(inst),
-            memory_protos, memory_labels, memory_valid,
-            num_classes=self.config.dataset.num_classes)
+            emb_map, sem, inst, memory_protos, memory_labels,
+            memory_valid, num_classes=self.config.dataset.num_classes)
         return np.asarray(pred)[:h, :w]
 
     def predict_topk_probs(self, image: np.ndarray, memory_protos,
@@ -139,14 +169,10 @@ class InferenceEngine:
         emb_map = self.stitched_embeddings(image)
         pad_h, pad_w = emb_map.shape[:2]
         h, w = image.shape[:2]
-        sem = np.zeros((pad_h, pad_w), np.int32)
-        sem[h:, :] = self.config.dataset.semantic_ignore_index
-        sem[:, w:] = self.config.dataset.semantic_ignore_index
-        inst = np.zeros((pad_h, pad_w), np.int32)
+        sem, inst = self._fake_labels(pad_h, pad_w, h, w)
         _, seg_map, _, _, topk = self._cluster_predict(
-            jnp.asarray(emb_map), jnp.asarray(sem), jnp.asarray(inst),
-            memory_protos, memory_labels, memory_valid,
-            num_classes=c)
+            emb_map, sem, inst, memory_protos, memory_labels,
+            memory_valid, num_classes=c)
         topk = np.asarray(topk)          # [capacity, 20]
         seg_map = np.asarray(seg_map)    # [Hp, Wp]
         onehot = np.zeros((topk.shape[0], c), np.float32)
@@ -166,28 +192,22 @@ class InferenceEngine:
         emb_map = self.stitched_embeddings(image)
         pad_h, pad_w = emb_map.shape[:2]
         h, w = image.shape[:2]
-        # fake zero labels; padding ignored
-        sem = np.zeros((pad_h, pad_w), np.int32)
-        sem[h:, :] = self.config.dataset.semantic_ignore_index
-        sem[:, w:] = self.config.dataset.semantic_ignore_index
-        inst = np.zeros((pad_h, pad_w), np.int32)
+        sem, inst = self._fake_labels(pad_h, pad_w, h, w)
         dummy_mem = jnp.zeros((20, emb_map.shape[-1]), jnp.float32)
         _, seg_map, protos, seg_valid, _ = self._cluster_predict(
-            jnp.asarray(emb_map), jnp.asarray(sem), jnp.asarray(inst),
-            dummy_mem, jnp.zeros((20,), jnp.int32), jnp.zeros((20,), bool),
+            emb_map, sem, inst, dummy_mem, jnp.zeros((20,), jnp.int32),
+            jnp.zeros((20,), bool),
             num_classes=self.config.dataset.num_classes)
 
-        # majority REAL label per cluster, computed over valid pixels
-        seg_map = np.asarray(seg_map)
-        real = np.full((pad_h, pad_w),
-                       self.config.dataset.semantic_ignore_index, np.int32)
+        # majority REAL label per cluster over valid pixels (on device)
+        ignore = self.config.dataset.semantic_ignore_index
+        real = np.full((pad_h, pad_w), ignore, np.int32)
         real[:h, :w] = semantic_label
-        k = protos.shape[0]
-        counts = np.zeros((k, 256), np.int64)
-        valid = real != self.config.dataset.semantic_ignore_index
-        np.add.at(counts, (seg_map[valid], real[valid]), 1)
-        labels = counts.argmax(axis=1).astype(np.int32)
-        return (np.asarray(protos), labels, np.asarray(seg_valid))
+        real_dev = jnp.asarray(real)
+        labels = self._majority(seg_map, real_dev, real_dev != ignore,
+                                int(protos.shape[0]), num_bins=256)
+        return (np.asarray(protos), np.asarray(labels),
+                np.asarray(seg_valid))
 
 
 def save_prototypes(path: str, prototypes: np.ndarray,
