@@ -145,49 +145,50 @@ def run_softmax_inference(args, config, msc=False, crf=False,
         print(f"softmax inference {base}", flush=True)
 
 
-def _stride8_affinity_embeddings(config, emb_model, evars, image):
-    """Flip-averaged full-res embeddings downsampled to stride 8 and
-    L2-normalized (pseudo_camrw_crf.py:139-150)."""
+def _stride8_affinity(config, emb_model, evars, image):
+    """Flip-AVERAGED pixel affinity at the stride-8 grid
+    (pseudo_camrw_crf.py:139-155: per flip, embed -> downsample /8 ->
+    L2-normalize -> exp(5cos-5); the AFFINITIES are averaged, not the
+    embeddings). Runs entirely on device; returns the [n, n] affinity
+    (device array) with n = (h//8)*(w//8)."""
     from spml_tpu.models.spp import resize_bilinear
     h, w = image.shape[:2]
     img_pad = transforms.resize_with_pad(image, config.test.crop_size, 0.0)
 
     @jax.jit
-    def fwd(x):
-        emb, _ = emb_model.apply(evars, x, train=False,
-                                 resize_as_input=True)
-        return emb.astype(jnp.float32)
+    def aff8(x):
+        def embed8(v, flip):
+            v = v[:, :, ::-1] if flip else v
+            emb, _ = emb_model.apply(evars, v, train=False,
+                                     resize_as_input=True)
+            emb = emb.astype(jnp.float32)[0]
+            if flip:
+                emb = emb[:, ::-1]
+            emb = emb[:h, :w]
+            emb8 = resize_bilinear(emb[None], (h // 8, w // 8))[0]
+            return common.normalize_embedding(emb8).reshape(
+                -1, emb8.shape[-1])
 
-    embs = []
-    for flip in (False, True):
-        x = img_pad[:, ::-1] if flip else img_pad
-        e = np.asarray(fwd(jnp.asarray(x[None])))[0]
-        e = e[:img_pad.shape[0], :img_pad.shape[1]]
-        if flip:
-            e = e[:, ::-1]
-        embs.append(e[:h, :w])
-    emb = np.mean(np.stack(embs), axis=0)
-    emb8 = np.asarray(resize_bilinear(
-        jnp.asarray(emb[None]), (h // 8, w // 8)))[0]
-    emb8 = emb8 / np.maximum(
-        np.linalg.norm(emb8, axis=-1, keepdims=True), 1e-12)
-    return emb8  # [h//8, w//8, D]
+        aff = (randomwalk.pixel_affinity(embed8(x, False))
+               + randomwalk.pixel_affinity(embed8(x, True))) * 0.5
+        return aff
+
+    return aff8(jnp.asarray(img_pad[None]))
 
 
-def _walk_scores(config, emb8, scores_full):
-    """Downsample scores to stride 8, random-walk, upsample back."""
+def _walk_scores(config, aff, scores_full, grid_hw):
+    """Downsample scores to the stride-8 grid, random-walk over the
+    (flip-averaged) affinity, upsample back."""
     from spml_tpu.models.spp import resize_bilinear
     c, h, w = scores_full.shape
-    gh, gw = emb8.shape[:2]
-    scores8 = np.asarray(resize_bilinear(
-        jnp.asarray(scores_full.transpose(1, 2, 0)[None]),
-        (gh, gw)))[0].transpose(2, 0, 1)
-    walked = np.asarray(randomwalk.random_walk(
-        jnp.asarray(emb8.reshape(-1, emb8.shape[-1])),
-        jnp.asarray(scores8.reshape(c, -1))))
+    gh, gw = grid_hw
+    scores8 = resize_bilinear(
+        jnp.asarray(scores_full.transpose(1, 2, 0)[None]), (gh, gw))[0]
+    walked = randomwalk.random_walk_from_affinity(
+        aff, scores8.reshape(-1, c).T)
     walked = walked.reshape(c, gh, gw)
     out = np.asarray(resize_bilinear(
-        jnp.asarray(walked.transpose(1, 2, 0)[None]), (h, w)))[0]
+        walked.transpose(1, 2, 0)[None], (h, w)))[0]
     return out.transpose(2, 0, 1)
 
 
@@ -206,9 +207,8 @@ def run_pseudo_camrw_crf(args, config, bg_alpha=6.0, with_crf=True):
                                    base.replace(".png", ".npy")),
                       allow_pickle=True).item()
         scores = randomwalk.cam_to_full_scores(cam, C, h, w, bg_alpha)
-        emb8 = _stride8_affinity_embeddings(config, emb_model, evars,
-                                            image)
-        walked = _walk_scores(config, emb8, scores)
+        aff = _stride8_affinity(config, emb_model, evars, image)
+        walked = _walk_scores(config, aff, scores, (h // 8, w // 8))
         if postprocessor is not None:
             rgb = cli.denormalize_image(image, config)
             walked = postprocessor(rgb, np.ascontiguousarray(walked))
@@ -245,9 +245,8 @@ def run_pseudo_softmax(args, config, with_crf=False, with_walk=True,
         probs = probs / np.maximum(probs.max(axis=(1, 2), keepdims=True),
                                    1e-8)
         if with_walk:
-            emb8 = _stride8_affinity_embeddings(config, emb_model, evars,
-                                                image)
-            probs = _walk_scores(config, emb8, probs)
+            aff = _stride8_affinity(config, emb_model, evars, image)
+            probs = _walk_scores(config, aff, probs, (h // 8, w // 8))
         if postprocessor is not None:
             rgb = cli.denormalize_image(image, config)
             probs = postprocessor(rgb, np.ascontiguousarray(probs))

@@ -38,22 +38,28 @@ class SoftmaxInferenceEngine:
         return logits
 
     def predict_logits(self, image: np.ndarray) -> np.ndarray:
-        """[H, W, C] summed sliding-window logits at image resolution."""
+        """[H, W, C] summed sliding-window logits at image resolution.
+        Accumulation stays on device; only the final map comes down."""
+        import jax.lax as lax
         crop_h, crop_w = self.crop
         img = transforms.resize_with_pad(image, self.crop, 0.0)
         pad_h, pad_w = img.shape[:2]
         ends_h = patch_ends(pad_h, crop_h, self.stride[0])
         ends_w = patch_ends(pad_w, crop_w, self.stride[1])
         c = self.config.dataset.num_classes
-        total = np.zeros((pad_h, pad_w, c), np.float32)
+        img_dev = jnp.asarray(img)
+        total = jnp.zeros((pad_h, pad_w, c), jnp.float32)
         for eh in ends_h:
             for ew in ends_w:
-                sh, sw = eh - crop_h, ew - crop_w
-                logits = np.asarray(
-                    self._forward(img[None, sh:eh, sw:ew]))[0]
-                total[sh:eh, sw:ew] += logits
+                sh, sw = int(eh - crop_h), int(ew - crop_w)
+                patch = jax.lax.dynamic_slice(
+                    img_dev, (sh, sw, 0), (crop_h, crop_w, 3))
+                logits = self._forward(patch[None])[0]
+                cur = lax.dynamic_slice(total, (sh, sw, 0), logits.shape)
+                total = lax.dynamic_update_slice(total, cur + logits,
+                                                 (sh, sw, 0))
         h, w = image.shape[:2]
-        return total[:h, :w]
+        return np.asarray(total[:h, :w])
 
     def predict_probs(self, image: np.ndarray) -> np.ndarray:
         logits = self.predict_logits(image)

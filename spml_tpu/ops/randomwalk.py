@@ -53,3 +53,27 @@ def cam_to_full_scores(cam_dict: dict, num_classes: int, height: int,
         full[int(k) + 1] = v
     full[0] = np.power(1.0 - np.max(full[1:], axis=0), bg_alpha)
     return full
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "walk_steps"))
+def random_walk_from_affinity(aff: jnp.ndarray, scores: jnp.ndarray,
+                              beta: int = 20,
+                              walk_steps: int = 6) -> jnp.ndarray:
+    """Same walk, but over a precomputed (e.g. flip-averaged) affinity
+    matrix — the reference averages the per-flip affinities before the
+    walk (pseudo_camrw_crf.py:151-163)."""
+    aff = aff ** beta
+    trans = aff / jnp.sum(aff, axis=0, keepdims=True)
+
+    def square(t, _):
+        return t @ t, None
+
+    trans, _ = jax.lax.scan(square, trans, None, length=walk_steps)
+    return scores @ trans
+
+
+def pixel_affinity(embeddings: jnp.ndarray) -> jnp.ndarray:
+    """exp(5 cos - 5) pairwise affinity of [n, d] normalized rows."""
+    return jnp.exp(
+        jnp.einsum("nd,md->nm", embeddings, embeddings,
+                   preferred_element_type=jnp.float32) * 5.0 - 5.0)

@@ -91,3 +91,25 @@ def test_knn_inference_with_crf(tiny_world):
     runner.run_knn_inference(args, cfg, crf=True)
     assert len(os.listdir(
         os.path.join(args.save_dir, "semantic_gray"))) == 3
+
+
+def test_pseudo_camrw_pipeline(tiny_world, tmp_path):
+    """SEAM-CAM pseudo-label generation: CAM -> stride-8 affinity walk ->
+    CRF -> gray/color PNGs."""
+    args, cfg = tiny_world
+    cam_dir = tmp_path / "cams"
+    cam_dir.mkdir()
+    rng = np.random.RandomState(0)
+    # synth CAMs matching the dataset images (48x64, classes 1..3)
+    for i in range(3):
+        cam = {0: rng.rand(48, 64).astype(np.float32) * 0.5,
+               1: rng.rand(48, 64).astype(np.float32)}
+        np.save(cam_dir / f"im{i}.npy", cam, allow_pickle=True)
+    args.cam_dir = str(cam_dir)
+    args.save_dir = str(tmp_path / "pseudo")
+    runner.run_pseudo_camrw_crf(args, cfg)
+    gray = os.path.join(args.save_dir, "semantic_gray")
+    assert len(os.listdir(gray)) == 3
+    pred = np.array(PIL.Image.open(os.path.join(gray, "im1.png")))
+    assert pred.shape == (48, 64)
+    assert pred.max() < cfg.dataset.num_classes
