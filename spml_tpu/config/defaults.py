@@ -27,6 +27,9 @@ class NetworkConfig:
     pspp_feature_dim: int = 512
     embedding_dim: int = 64
     label_divisor: int = 255
+    # torch momentum (reference 3e-4); assumes pretrained BN statistics.
+    # Use ~0.1 when training from scratch so eval-mode stats keep up.
+    bn_momentum: float = 3e-4
     kmeans_iterations: int = 10
     kmeans_num_clusters: tuple = (6, 6)
 

@@ -44,6 +44,10 @@ class EmbeddingModel(nn.Module):
     norm_color: bool = False
     smooth_ksize: int | None = None
     dtype: Any = jnp.float32
+    # reference BN momentum 3e-4 assumes ImageNet-pretrained statistics;
+    # raise (e.g. 0.9) when training from random initialization or the
+    # eval-mode running stats lag the train-mode batch stats badly
+    bn_momentum: float = 1.0 - 3e-4
 
     @nn.compact
     def __call__(self, images, train: bool = False,
@@ -51,6 +55,7 @@ class EmbeddingModel(nn.Module):
         x = images.astype(self.dtype)
         _, _, _, res5 = ResnetBackbone(
             RESNET_DEPTHS[self.depth], dtype=self.dtype,
+            bn_momentum=self.bn_momentum,
             name="resnet_backbone")(x, train)
 
         if self.head == "aspp":
@@ -105,7 +110,8 @@ class ClassifierHead(nn.Module):
 
 
 def build_embedding_model(backbone_types: str, embedding_dim: int,
-                          dtype=jnp.float32) -> EmbeddingModel:
+                          dtype=jnp.float32,
+                          bn_momentum: float = 1.0 - 3e-4) -> EmbeddingModel:
     """Factory matching the reference's config.network.backbone_types
     strings (train.py:83-88)."""
     table = {
@@ -121,4 +127,4 @@ def build_embedding_model(backbone_types: str, embedding_dim: int,
     if backbone_types not in table:
         raise ValueError(f"Not support {backbone_types}")
     return EmbeddingModel(embedding_dim=embedding_dim, dtype=dtype,
-                          **table[backbone_types])
+                          bn_momentum=bn_momentum, **table[backbone_types])

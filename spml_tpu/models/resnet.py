@@ -41,6 +41,7 @@ class ConvBN(nn.Module):
     use_bn: bool = True
     relu: bool = False
     dtype: Any = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -54,7 +55,7 @@ class ConvBN(nn.Module):
                     dtype=self.dtype, name="conv")(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             momentum=self.bn_momentum, epsilon=BN_EPS,
                              dtype=self.dtype, name="bn")(x)
         if self.relu:
             x = nn.relu(x)
@@ -68,35 +69,36 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     has_downsample: bool = False
     dtype: Any = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        out = ConvBN(self.planes, 1, dtype=self.dtype, relu=True,
-                     name="conv1")(x, train)
+        kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum)
+        out = ConvBN(self.planes, 1, relu=True, name="conv1",
+                     **kw)(x, train)
         out = ConvBN(self.planes, 3, stride=self.stride,
-                     dilation=self.dilation, dtype=self.dtype, relu=True,
-                     name="conv2")(out, train)
-        out = ConvBN(self.planes * 4, 1, dtype=self.dtype,
-                     name="conv3")(out, train)
+                     dilation=self.dilation, relu=True, name="conv2",
+                     **kw)(out, train)
+        out = ConvBN(self.planes * 4, 1, name="conv3", **kw)(out, train)
         if self.has_downsample:
             residual = ConvBN(self.planes * 4, 1, stride=self.stride,
-                              dtype=self.dtype, name="downsample")(x, train)
+                              name="downsample", **kw)(x, train)
         return nn.relu(out + residual)
 
 
 class Stem(nn.Module):
     """3x 3x3 conv stem + maxpool (reference resnet.py:66-110)."""
     dtype: Any = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBN(64, 3, stride=2, relu=True, dtype=self.dtype,
-                   name="conv1_1")(x, train)
-        x = ConvBN(64, 3, relu=True, dtype=self.dtype,
-                   name="conv1_2")(x, train)
-        x = ConvBN(128, 3, relu=True, dtype=self.dtype,
-                   name="conv1_3")(x, train)
+        kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum)
+        x = ConvBN(64, 3, stride=2, relu=True, name="conv1_1",
+                   **kw)(x, train)
+        x = ConvBN(64, 3, relu=True, name="conv1_2", **kw)(x, train)
+        x = ConvBN(128, 3, relu=True, name="conv1_3", **kw)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)])
         return x
@@ -108,19 +110,21 @@ class Stage(nn.Module):
     stride: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
     def __call__(self, x, train: bool):
         # reference resnet.py:154-159 — first block gets reduced dilation
         first_dil = 1 if self.dilation in (1, 2) else 2
         in_ch = x.shape[-1]
+        kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum)
         x = Bottleneck(self.planes, self.stride, first_dil,
                        has_downsample=(self.stride != 1
                                        or in_ch != self.planes * 4),
-                       dtype=self.dtype, name="block0")(x, train)
+                       name="block0", **kw)(x, train)
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, 1, self.dilation,
-                           dtype=self.dtype, name=f"block{i}")(x, train)
+                           name=f"block{i}", **kw)(x, train)
         return x
 
 
@@ -130,18 +134,20 @@ class ResnetBackbone(nn.Module):
     strides: Sequence[int] = (1, 2, 1, 1)
     dilations: Sequence[int] = (1, 1, 2, 4)
     dtype: Any = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Stem(dtype=self.dtype, name="stem")(x, train)
-        res2 = Stage(64, self.blocks[0], self.strides[0], self.dilations[0],
-                     dtype=self.dtype, name="res2")(x, train)
-        res3 = Stage(128, self.blocks[1], self.strides[1], self.dilations[1],
-                     dtype=self.dtype, name="res3")(res2, train)
-        res4 = Stage(256, self.blocks[2], self.strides[2], self.dilations[2],
-                     dtype=self.dtype, name="res4")(res3, train)
-        res5 = Stage(512, self.blocks[3], self.strides[3], self.dilations[3],
-                     dtype=self.dtype, name="res5")(res4, train)
+        kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum)
+        x = Stem(name="stem", **kw)(x, train)
+        res2 = Stage(64, self.blocks[0], self.strides[0],
+                     self.dilations[0], name="res2", **kw)(x, train)
+        res3 = Stage(128, self.blocks[1], self.strides[1],
+                     self.dilations[1], name="res3", **kw)(res2, train)
+        res4 = Stage(256, self.blocks[2], self.strides[2],
+                     self.dilations[2], name="res4", **kw)(res3, train)
+        res5 = Stage(512, self.blocks[3], self.strides[3],
+                     self.dilations[3], name="res5", **kw)(res4, train)
         return res2, res3, res4, res5
 
 

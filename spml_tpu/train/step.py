@@ -42,9 +42,9 @@ from spml_tpu.train.state import MemoryBank, TrainState
 def build_models(config):
     dtype = (jnp.bfloat16 if config.tpu.compute_dtype == "bfloat16"
              else jnp.float32)
-    emb_model = build_embedding_model(config.network.backbone_types,
-                                      config.network.embedding_dim,
-                                      dtype=dtype)
+    emb_model = build_embedding_model(
+        config.network.backbone_types, config.network.embedding_dim,
+        dtype=dtype, bn_momentum=1.0 - config.network.bn_momentum)
     cls_model = ClassifierHead(num_classes=config.dataset.num_classes,
                                hidden_dim=config.network.embedding_dim * 2,
                                dropout_rate=0.75, dtype=dtype)
