@@ -103,8 +103,25 @@ def _restore_any(config, snapshot_dir, evars, cvars):
             restored = mgr.restore(step)
         params = restored["params"]
         stats = restored["batch_stats"]
-        evars = {"params": params["embedding"],
-                 "batch_stats": stats["embedding"]}
+        if "embedding" in params:
+            evars = {"params": params["embedding"],
+                     "batch_stats": stats["embedding"]}
+        else:
+            # stage-2 classifier snapshot: only the prediction head is
+            # stored; the frozen embedding comes from network.pretrained
+            # (the stage-1 snapshot), as in the reference's classifier
+            # inference (train_classifier.py:99-113)
+            pre = config.network.pretrained
+            if pre and os.path.isdir(pre):
+                restored_pre = _restore_any(config, pre, evars, cvars)
+                if restored_pre is not None:
+                    evars = restored_pre[0]
+            elif pre and os.path.isfile(pre):
+                from spml_tpu.utils import torch_import
+                p, s = torch_import.load_torch_checkpoint(
+                    pre, key="embedding_model")
+                evars = torch_import.merge_pretrained(
+                    evars, p, s, strict_shapes=False, strict_names=False)
         if "prediction" in params:
             cvars = {"params": params["prediction"],
                      "batch_stats": stats["prediction"]}

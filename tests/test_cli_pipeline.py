@@ -113,3 +113,49 @@ def test_pseudo_camrw_pipeline(tiny_world, tmp_path):
     pred = np.array(PIL.Image.open(os.path.join(gray, "im1.png")))
     assert pred.shape == (48, 64)
     assert pred.max() < cfg.dataset.num_classes
+
+
+def test_classifier_snapshot_restore_pulls_frozen_embedding(tmp_path):
+    """Stage-2 classifier snapshots hold only the prediction head; the
+    embedding must come from network.pretrained (the stage-1 snapshot),
+    as in the reference's classifier inference."""
+    import jax
+    import jax.numpy as jnp
+
+    from spml_tpu import cli
+    from spml_tpu.config import load_config
+    from spml_tpu.train import classifier_step, step as step_lib
+    from spml_tpu.utils import checkpoint as ckpt
+
+    cfg = load_config(overrides={
+        "dataset": {"num_classes": 4},
+        "network": {"backbone_types": "panoptic_deeplab_10",
+                    "embedding_dim": 8, "kmeans_num_clusters": [2, 2],
+                    "kmeans_iterations": 2},
+        "train": {"batch_size": 1, "crop_size": [32, 32],
+                  "memory_bank_size": 1},
+        "test": {"crop_size": [32, 32], "stride": [32, 32]},
+        "tpu": {"compute_dtype": "float32", "segment_capacity": 16},
+    })
+    # stage-1 snapshot (full state)
+    s1 = step_lib.init_state(cfg, jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3)))
+    ckpt.save(str(tmp_path / "stage1" / "checkpoints"), 1, s1)
+    # stage-2 snapshot (classifier only)
+    s2 = classifier_step.init_classifier_state(
+        cfg, jax.random.PRNGKey(1), cfg.network.embedding_dim)
+    ckpt.save(str(tmp_path / "cls" / "checkpoints"), 1, s2)
+
+    cfg.network.pretrained = str(tmp_path / "stage1")
+    emb_model, evars, cls_model, cvars = cli.build_eval_models(
+        cfg, str(tmp_path / "cls"), with_classifier=True)
+    # embedding params came from stage-1, classifier from stage-2
+    want_emb = s1.params["embedding"]
+    got_emb = evars["params"]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(want_emb)[0]),
+        np.asarray(jax.tree.leaves(got_emb)[0]))
+    want_cls = s2.params["prediction"]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(want_cls)[0]),
+        np.asarray(jax.tree.leaves(cvars["params"])[0]))
