@@ -521,13 +521,11 @@ def _joint_stats_kernel(kappa_a, kappa_o, emb_ref, pix_lab_ref, own_ref,
     same_a = (pix_lab[:, None] == proto_lab[None, :]) & lab_valid
     diff_a = (pix_lab[:, None] != proto_lab[None, :]) & lab_valid
 
-    affinity = jax.lax.dot_general(
-        pix_tag_ref[...], proto_tag_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # tag sets packed as int32 bitwords: intersection == bitwise AND
+    inter = pix_tag_ref[0, :][:, None] & proto_tag_ref[0, :][None, :]
     tag_valid = proto_valid_ref[0, :][None, :] > 0
-    same_o = (affinity > 0) & tag_valid
-    diff_o = (affinity == 0) & tag_valid
+    same_o = (inter != 0) & tag_valid
+    diff_o = (inter == 0) & tag_valid
 
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * BLOCK_P
     own_mask = col == own_ref[0, :][:, None]
@@ -565,13 +563,10 @@ def _joint_grad_kernel(kappa_a, kappa_o, transpose, emb_ref, pix_lab_ref,
     same_a = (pix_lab[:, None] == proto_lab[None, :]) & lab_valid
     diff_a = (pix_lab[:, None] != proto_lab[None, :]) & lab_valid
 
-    affinity = jax.lax.dot_general(
-        pix_tag_ref[...], proto_tag_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    inter = pix_tag_ref[0, :][:, None] & proto_tag_ref[0, :][None, :]
     tag_valid = proto_valid_ref[0, :][None, :] > 0
-    same_o = (affinity > 0) & tag_valid
-    diff_o = (affinity == 0) & tag_valid
+    same_o = (inter != 0) & tag_valid
+    diff_o = (inter == 0) & tag_valid
 
     if transpose:
         j = pl.program_id(0)
@@ -608,11 +603,12 @@ def _joint_in_specs(d, t, transpose):
         def vec(i_, j_): return (0, i_)  # noqa: E704
         def prow(i_, j_): return (j_, 0)  # noqa: E704
         def pvec(i_, j_): return (0, j_)  # noqa: E704
+    del t
     return [
         pl.BlockSpec((BLOCK_N, d), row),
         pl.BlockSpec((1, BLOCK_N), vec),
         pl.BlockSpec((1, BLOCK_N), vec),
-        pl.BlockSpec((BLOCK_N, t), row),
+        pl.BlockSpec((1, BLOCK_N), vec),   # pix tag bitwords
         pl.BlockSpec((1, BLOCK_N), vec),
         pl.BlockSpec((1, BLOCK_N), vec),
         pl.BlockSpec((1, BLOCK_N), vec),
@@ -621,7 +617,7 @@ def _joint_in_specs(d, t, transpose):
         pl.BlockSpec((1, BLOCK_N), vec),
         pl.BlockSpec((BLOCK_P, d), prow),
         pl.BlockSpec((1, BLOCK_P), pvec),
-        pl.BlockSpec((BLOCK_P, t), prow),
+        pl.BlockSpec((1, BLOCK_P), pvec),  # proto tag bitwords
         pl.BlockSpec((1, BLOCK_P), pvec),
     ]
 
@@ -630,7 +626,6 @@ def _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
                     proto_tags, proto_valid, kappa_a, kappa_o, interpret):
     n, d = emb.shape
     p = protos.shape[0]
-    t = pix_tags.shape[1]
     outs = pl.pallas_call(
         functools.partial(_joint_stats_kernel, kappa_a, kappa_o),
         grid=(n // BLOCK_N, p // BLOCK_P),
@@ -638,17 +633,17 @@ def _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
             pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
             pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
             pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((BLOCK_N, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
             pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
             pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
-            pl.BlockSpec((BLOCK_P, t), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
             pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
         ],
         out_specs=[pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i))] * 6,
         out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 6,
         interpret=interpret,
-    )(emb, pix_lab[None], own_idx[None], pix_tags, protos,
-      proto_lab[None], proto_tags, proto_valid[None])
+    )(emb, pix_lab[None], own_idx[None], pix_tags[None], protos,
+      proto_lab[None], proto_tags[None], proto_valid[None])
     return tuple(o[0] for o in outs)
 
 
@@ -658,7 +653,11 @@ def joint_segsort_stats(emb, pix_lab, own_idx, pix_tags, protos,
                         kappa_a, kappa_o, interpret=False):
     """Six stats in one sweep: (own_a, same_a, diff_a) for the hard-label
     loss at kappa_a and (own_o, same_o, diff_o) for the tag loss at
-    kappa_o."""
+    kappa_o.
+
+    pix_tags / proto_tags are [N] / [P] int32 BITWORDS (bit c set = class
+    c in the tag set; <= 32 classes), so tag intersection is a bitwise
+    AND instead of a lane-padded matmul."""
     return _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos,
                            proto_lab, proto_tags, proto_valid, kappa_a,
                            kappa_o, interpret)
@@ -679,12 +678,12 @@ def _joint_bwd(kappa_a, kappa_o, interpret, residuals, grads):
     ga_own, ga_same, ga_diff, go_own, go_same, go_diff = grads
     n, d = emb.shape
     p = protos.shape[0]
-    t = pix_tags.shape[1]
+    t = 0  # tags are bitwords now
 
-    ins = [emb, pix_lab[None], own_idx[None], pix_tags,
+    ins = [emb, pix_lab[None], own_idx[None], pix_tags[None],
            ga_own[None], ga_same[None], ga_diff[None],
            go_own[None], go_same[None], go_diff[None],
-           protos, proto_lab[None], proto_tags, proto_valid[None]]
+           protos, proto_lab[None], proto_tags[None], proto_valid[None]]
 
     de = pl.pallas_call(
         functools.partial(_joint_grad_kernel, kappa_a, kappa_o, False),
@@ -719,6 +718,14 @@ def _ll_from_stats(own_s, same_s, diff_s, pixel_mask):
     return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def _pack_tag_bits(tags):
+    """[N, T] 0/1 tags -> [N] int32 bitwords (requires T <= 32)."""
+    t = tags.shape[1]
+    assert t <= 32, f"tag width {t} exceeds the 32-bit packing"
+    weights = (2 ** jnp.arange(t, dtype=jnp.int32))
+    return jnp.sum(tags.astype(jnp.int32) * weights[None, :], axis=1)
+
+
 def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
                        semantic_tags, prototypes, prototype_labels,
                        prototype_tags, kappa_ann, kappa_occ,
@@ -727,19 +734,18 @@ def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
     """(sem_ann, sem_occ) masked-mean losses in one fused sweep.
 
     prototype_labels must already be -1 for prototypes excluded from the
-    hard-label loss; prototype_mask gates the tag loss.
+    hard-label loss; prototype_mask gates the tag loss. Tag sets are
+    packed to int32 bitwords inside (<= 32 tag classes).
     """
     n0 = embeddings.shape[0]
     emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
     lab = _pad_to(semantic_labels.astype(jnp.int32), BLOCK_N, 0, value=-1)
     own = _pad_to(own_segment_ids.astype(jnp.int32), BLOCK_N, 0)
-    ptags = _pad_to(_pad_to(semantic_tags.astype(jnp.float32), 128, 1),
-                    BLOCK_N, 0)
+    ptags = _pad_to(_pack_tag_bits(semantic_tags), BLOCK_N, 0)
     protos = _pad_to(prototypes.astype(jnp.float32), BLOCK_P, 0)
     plab = _pad_to(prototype_labels.astype(jnp.int32), BLOCK_P, 0,
                    value=-1)
-    qtags = _pad_to(_pad_to(prototype_tags.astype(jnp.float32), 128, 1),
-                    BLOCK_P, 0)
+    qtags = _pad_to(_pack_tag_bits(prototype_tags), BLOCK_P, 0)
     pvalid = _pad_to(prototype_mask.astype(jnp.int32), BLOCK_P, 0)
 
     stats = joint_segsort_stats(emb, lab, own, ptags, protos, plab, qtags,
