@@ -182,12 +182,14 @@ class InferenceEngine:
         return probs[seg_map][:h, :w]
 
     def build_prototypes(self, image: np.ndarray,
-                         semantic_label: np.ndarray):
+                         semantic_label: np.ndarray,
+                         return_clusters: bool = False):
         """Memory-bank entry for one train image: k-means prototypes +
         majority ground-truth label (prototype.py:194-227).
 
         semantic_label: [H, W] at the image's (resized) resolution.
-        Returns (prototypes [K, D], labels [K], valid [K]).
+        Returns (prototypes [K, D], labels [K], valid [K]) and, when
+        return_clusters, the [H, W] cluster-index map as a 4th element.
         """
         emb_map = self.stitched_embeddings(image)
         pad_h, pad_w = emb_map.shape[:2]
@@ -206,8 +208,11 @@ class InferenceEngine:
         real_dev = jnp.asarray(real)
         labels = self._majority(seg_map, real_dev, real_dev != ignore,
                                 int(protos.shape[0]), num_bins=256)
-        return (np.asarray(protos), np.asarray(labels),
-                np.asarray(seg_valid))
+        out = (np.asarray(protos), np.asarray(labels),
+               np.asarray(seg_valid))
+        if return_clusters:
+            return out + (np.asarray(seg_map)[:h, :w],)
+        return out
 
 
 def save_prototypes(path: str, prototypes: np.ndarray,

@@ -58,12 +58,22 @@ def _load_memory(args, config):
             jnp.ones((protos.shape[0],), bool))
 
 
-def run_prototype(args, config, scales=None):
-    """Build the semantic memory bank over the train split."""
+def run_prototype(args, config, scales=None, save_clusters=True):
+    """Build the semantic memory bank over the train split; also saves
+    the cluster-index maps (reference prototype.py:217-227 layout:
+    semantic_cluster/ mode-'I' PNGs + semantic_cluster_rgb/)."""
+    import PIL.Image
     eng_model = cli.build_eval_models(config, args.snapshot_dir)
     eng = engine_lib.InferenceEngine(config, *eng_model)
     out_dir = os.path.join(args.save_dir, "semantic_prototype")
     os.makedirs(out_dir, exist_ok=True)
+    if save_clusters:
+        cluster_dir = os.path.join(args.save_dir, "semantic_cluster")
+        cluster_rgb_dir = os.path.join(args.save_dir,
+                                       "semantic_cluster_rgb")
+        os.makedirs(cluster_dir, exist_ok=True)
+        os.makedirs(cluster_rgb_dir, exist_ok=True)
+        color_map = vis.load_color_map(config.dataset.color_map_path)
     for _, base, image, sem, _ in cli.iterate_test_images(
             config, args.data_dir, args.data_list):
         image, sem, _ = _maybe_resize_input(config, image, sem)
@@ -76,9 +86,21 @@ def run_prototype(args, config, scales=None):
             sem_s = transforms._resize_nearest(
                 sem, img_s.shape[0], img_s.shape[1]) \
                 if scale != 1.0 else sem
-            protos, labels, valid = eng.build_prototypes(img_s, sem_s)
+            want_clusters = save_clusters and scale == 1.0
+            result = eng.build_prototypes(img_s, sem_s,
+                                          return_clusters=want_clusters)
+            protos, labels, valid = result[:3]
             all_p.append(protos[valid])
             all_l.append(labels[valid])
+            if want_clusters:
+                clusters = result[3]
+                PIL.Image.fromarray(clusters.astype(np.int32),
+                                    mode="I").save(
+                    os.path.join(cluster_dir, base))
+                PIL.Image.fromarray(
+                    vis.label_to_color(clusters % 256, color_map),
+                    mode="RGB").save(
+                    os.path.join(cluster_rgb_dir, base))
         engine_lib.save_prototypes(
             os.path.join(out_dir, base.replace(".png", ".npy")),
             np.concatenate(all_p, 0), np.concatenate(all_l, 0))
