@@ -159,3 +159,57 @@ def test_classifier_snapshot_restore_pulls_frozen_embedding(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(want_cls)[0]),
         np.asarray(jax.tree.leaves(cvars["params"])[0]))
+
+
+def test_pseudo_densepose_pipeline(tmp_path):
+    """DensePose point pseudo labels: cluster with 'unknown' class,
+    NN label propagation, walk, CRF, ignore re-mask."""
+    import argparse
+
+    from spml_tpu.config import load_config
+
+    rng = np.random.RandomState(1)
+    data = tmp_path / "data"
+    for sub in ("JPEGImages", "points", "seginst"):
+        (data / sub).mkdir(parents=True)
+    lines = []
+    for i in range(2):
+        h, w = 64, 64
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        # sparse point labels among 15 classes, 255 elsewhere
+        pts = np.full((h, w), 255, np.uint8)
+        ys, xs = rng.randint(0, h, 30), rng.randint(0, w, 30)
+        pts[ys, xs] = rng.randint(0, 15, 30)
+        inst = rng.randint(0, 6, (h, w)).astype(np.uint8)
+        PIL.Image.fromarray(img).save(data / "JPEGImages" / f"p{i}.jpg")
+        PIL.Image.fromarray(pts).save(data / "points" / f"p{i}.png")
+        PIL.Image.fromarray(inst).save(data / "seginst" / f"p{i}.png")
+        lines.append(f"JPEGImages/p{i}.jpg points/p{i}.png "
+                     f"seginst/p{i}.png")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+
+    cfg = load_config(overrides={
+        "dataset": {"num_classes": 15},
+        "network": {"backbone_types": "panoptic_deeplab_10",
+                    "embedding_dim": 8, "kmeans_iterations": 2,
+                    "kmeans_num_clusters": [3, 3]},
+        "test": {"image_size": 0, "crop_size": [64, 64],
+                 "stride": [64, 64]},
+        "tpu": {"compute_dtype": "float32", "segment_capacity": 64},
+    })
+    args = argparse.Namespace(
+        snapshot_dir=str(tmp_path / "none"),
+        save_dir=str(tmp_path / "out"),
+        data_dir=str(data), data_list=str(tmp_path / "list.txt"),
+        semantic_memory_dir=None, cam_dir=None,
+        crf_iter_max=2, crf_pos_w=3, crf_pos_xy_std=1, crf_bi_w=4,
+        crf_bi_xy_std=20, crf_bi_rgb_std=5)
+    runner.run_pseudo_densepose(args, cfg)
+    gray = os.path.join(args.save_dir, "semantic_gray")
+    assert len(os.listdir(gray)) == 2
+    pred = np.array(PIL.Image.open(os.path.join(gray, "p0.png")))
+    assert pred.shape == (64, 64)
+    # originally-ignored pixels (not points) stay 255; points area labeled
+    pts = np.array(PIL.Image.open(data / "points" / "p0.png"))
+    assert (pred[pts == 255] == 255).all()
+    assert (pred[pts != 255] < 15).all()
