@@ -53,9 +53,9 @@ export PYTHONPATH=`pwd`:$PYTHONPATH
 
 DATAROOT=${DATAROOT:-/data/coco_densepose}
 PRETRAINED=${PRETRAINED:-snapshots/imagenet/trained/resnet-101-cuhk.pth}
-TRAIN_DATA_LIST=datasets/densepose/point_${TRAIN_SPLIT}_d4_pmi.txt
+TRAIN_DATA_LIST=datasets/densepose/panoptic_${TRAIN_SPLIT}_points_pmi0.1_256.txt
 TEST_DATA_LIST=datasets/densepose/panoptic_${INFERENCE_SPLIT}.txt
-MEMORY_DATA_LIST=datasets/densepose/panoptic_${TRAIN_SPLIT}_pmi.txt
+MEMORY_DATA_LIST=datasets/densepose/panoptic_${TRAIN_SPLIT}_sub.txt
 
 IS_CONFIG_EMB=${IS_CONFIG_EMB:-1}
 IS_TRAIN_EMB=${IS_TRAIN_EMB:-1}

@@ -53,7 +53,7 @@ export PYTHONPATH=`pwd`:$PYTHONPATH
 
 DATAROOT=${DATAROOT:-/data/VOCdevkit}
 PRETRAINED=${PRETRAINED:-snapshots/imagenet/trained/resnet-101-cuhk.pth}
-TRAIN_DATA_LIST=datasets/voc12/point_${TRAIN_SPLIT}_d6_hed.txt
+TRAIN_DATA_LIST=datasets/voc12/scribble_${TRAIN_SPLIT}_d6_0.0_hed.txt
 TEST_DATA_LIST=datasets/voc12/panoptic_${INFERENCE_SPLIT}.txt
 MEMORY_DATA_LIST=datasets/voc12/panoptic_${TRAIN_SPLIT}_hed.txt
 

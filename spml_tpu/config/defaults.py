@@ -80,6 +80,9 @@ class TrainConfig:
 
 @dataclass
 class TestConfig:
+    # parsed for YAML-surface parity with the reference (default.py:77,
+    # where it is likewise never read: every reference inference script
+    # hardcodes its pyramid — see tests/test_cli_wrappers.py)
     scales: tuple = (1.0,)
     image_size: int = 512
     crop_size: tuple = (512, 512)

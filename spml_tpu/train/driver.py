@@ -108,8 +108,9 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
         size=crop, random_crop=config.train.random_crop,
         random_scale=config.train.random_scale,
         random_mirror=config.train.random_mirror, training=True)
-    loader = iter(datasets_lib.Loader(dataset, global_batch,
-                                      shuffle=config.train.shuffle))
+    loader = iter(datasets_lib.Loader(
+        dataset, global_batch, shuffle=config.train.shuffle,
+        num_workers=n_dev * config.num_threads))
 
     mesh = mesh_lib.make_mesh()
     state = step_lib.init_state(
@@ -140,9 +141,13 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
             jax.block_until_ready(metrics)
             dt = time.time() - t0
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
-            metrics["imgs_per_sec"] = (
-                global_batch * config.train.tensorboard_step / dt
-                if it > start else global_batch / dt)
+            if it > start:
+                metrics["imgs_per_sec"] = (
+                    global_batch * config.train.tensorboard_step / dt)
+            else:
+                # the first interval is dominated by XLA compilation;
+                # report it as such instead of a bogus throughput
+                metrics["compile_secs"] = dt
             _log_metrics(writer, metrics, it)
             _log_images(writer, config, emb_model, state, batch, it)
             t0 = time.time()
@@ -180,8 +185,9 @@ def train_classifier(args, config,
         size=crop, random_crop=config.train.random_crop,
         random_scale=config.train.random_scale,
         random_mirror=config.train.random_mirror, training=True)
-    loader = iter(datasets_lib.Loader(dataset, global_batch,
-                                      shuffle=config.train.shuffle))
+    loader = iter(datasets_lib.Loader(
+        dataset, global_batch, shuffle=config.train.shuffle,
+        num_workers=n_dev * config.num_threads))
 
     # frozen embedding model from config.network.pretrained (the stage-1
     # snapshot, train_classifier.py:99-113)

@@ -135,6 +135,68 @@ def make_optimizer(params, train_cfg,
     )
 
 
+def _scale_by_reference_adam(b1: float, b2: float, eps: float):
+    """Adam moment scaling with the reference's (old-torch) epsilon
+    placement: denom = sqrt(nu) + eps computed on the UNCORRECTED second
+    moment, then the update is scaled by sqrt(1-b2^t)/(1-b1^t)
+    (lib/nn/optimizer.py:160-179). Differs from optax.scale_by_adam,
+    whose eps is added after bias correction.
+    """
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=zeros,
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        t = count.astype(jnp.float32)
+        scale = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        out = jax.tree.map(
+            lambda m, v: scale * m / (jnp.sqrt(v) + eps), mu, nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_adam_optimizer(params, train_cfg, schedule: Callable | None = None,
+                        betas=(0.9, 0.999),
+                        eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam with the same per-group LR multiplier / wd-mask chain as the
+    SGD path.
+
+    Reference: lib/nn/optimizer.py:107-179 (Adam.step(lr)) — wd is L2
+    folded into the gradient BEFORE the moment updates (:165-166), the
+    per-group multiplier and the per-step schedule LR both scale the
+    final step (:174-176). Unused by the reference's shipped pipelines
+    but part of its optimizer surface.
+    """
+    labels = param_labels(params)
+    if schedule is None:
+        schedule = make_schedule(train_cfg)
+    wd_mask = jax.tree.map(lambda lab: GROUP_WD[lab], labels)
+    mults = jax.tree.map(lambda lab: GROUP_MULT[lab], labels)
+
+    def scale_by_group(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, m: u * m, updates, mults), state
+
+    group_scale = optax.GradientTransformation(
+        lambda params: optax.EmptyState(), scale_by_group)
+
+    return optax.chain(
+        optax.add_decayed_weights(train_cfg.weight_decay, mask=wd_mask),
+        _scale_by_reference_adam(betas[0], betas[1], eps),
+        group_scale,
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
 def clip_grads(grads, clip_value: float):
     """Elementwise gradient clamp to [-clip_value, clip_value].
 
