@@ -107,6 +107,15 @@ class TpuConfig:
     # small prototype counts but required for large batches / memory banks
     # where the dense similarity matrix would not fit.
     use_fused_loss: bool = False
+    # loss reduction across the global batch:
+    # 'per_device_mean' (default) = mean over each train.batch_size image
+    #   group's valid pixels, then mean over groups — the reference's
+    #   per-GPU-mean-then-mean-over-GPUs (train.py:211-219, torch.mean of
+    #   each GPU's selected pixels);
+    # 'global_mean' = one masked mean over every valid pixel of the
+    #   global batch (equal pixel weighting; differs when per-group valid
+    #   counts are skewed — quantified in tests/test_loss_reduction.py).
+    loss_reduction: str = "per_device_mean"
 
 
 @dataclass

@@ -53,6 +53,8 @@ class InferenceEngine:
         self._accumulate = jax.jit(self._accumulate_impl)
         self._cluster_predict = jax.jit(
             self._cluster_predict_impl, static_argnames=("num_classes",))
+        self._cluster_probs = jax.jit(
+            self._cluster_probs_impl, static_argnames=("num_classes",))
         self._majority = jax.jit(
             self._majority_impl,
             static_argnames=("num_segments", "num_bins"))
@@ -133,6 +135,22 @@ class InferenceEngine:
         pixel_pred = jnp.take(majority, seg_ids).reshape(h, w)
         return pixel_pred, seg_ids.reshape(h, w), protos, seg_valid, topk
 
+    def _cluster_probs_impl(self, emb, sem_label, inst_label,
+                            memory_protos, memory_labels, memory_valid,
+                            num_classes: int):
+        """[Hp, Wp, C] per-pixel probabilities = mean one-hot of each
+        segment's top-20 retrieved labels, entirely on device
+        (inference_msc.py:221-240). Keeps the MSC inner loop (10 pyramid
+        members/image) free of per-member host scatters."""
+        _, seg_map, _, _, topk = self._cluster_predict_impl(
+            emb, sem_label, inst_label, memory_protos, memory_labels,
+            memory_valid, num_classes)
+        oh = jax.nn.one_hot(topk, num_classes, dtype=jnp.float32)
+        seg_probs = jnp.mean(oh, axis=1)                 # [capacity, C]
+        h, w = seg_map.shape
+        return jnp.take(seg_probs, seg_map.reshape(-1),
+                        axis=0).reshape(h, w, num_classes)
+
     @staticmethod
     def _majority_impl(seg_map, labels, valid, num_segments, num_bins: int):
         """Per-segment label histograms -> majority label (on device)."""
@@ -170,16 +188,10 @@ class InferenceEngine:
         pad_h, pad_w = emb_map.shape[:2]
         h, w = image.shape[:2]
         sem, inst = self._fake_labels(pad_h, pad_w, h, w)
-        _, seg_map, _, _, topk = self._cluster_predict(
+        probs = self._cluster_probs(
             emb_map, sem, inst, memory_protos, memory_labels,
             memory_valid, num_classes=c)
-        topk = np.asarray(topk)          # [capacity, 20]
-        seg_map = np.asarray(seg_map)    # [Hp, Wp]
-        onehot = np.zeros((topk.shape[0], c), np.float32)
-        for j in range(topk.shape[1]):
-            np.add.at(onehot, (np.arange(topk.shape[0]), topk[:, j]), 1.0)
-        probs = onehot / topk.shape[1]
-        return probs[seg_map][:h, :w]
+        return np.asarray(probs)[:h, :w]
 
     def build_prototypes(self, image: np.ndarray,
                          semantic_label: np.ndarray,

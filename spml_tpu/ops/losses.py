@@ -69,12 +69,17 @@ def segsort_loss(embeddings: jnp.ndarray,
                  prototype_semantic_labels: jnp.ndarray,
                  concentration: float,
                  pixel_mask: jnp.ndarray,
-                 prototype_mask: jnp.ndarray) -> jnp.ndarray:
+                 prototype_mask: jnp.ndarray,
+                 reduction: str = "mean") -> jnp.ndarray:
     """SegSortLoss (reference loss.py:133) with hard labels, masked mean.
 
     same/diff membership is label equality against each prototype's label;
     invalid prototypes are in neither set (their sims vanish from all sums,
     identical to the reference's index_select filtering).
+
+    reduction: "mean" = masked mean scalar; "none" = per-pixel [N] ll
+    (caller applies its own masked reduction, e.g. the reference's
+    per-device mean-of-means — train.py:211-219).
     """
     same = (semantic_labels[:, None] == prototype_semantic_labels[None, :])
     same = same & prototype_mask[None, :]
@@ -82,6 +87,8 @@ def segsort_loss(embeddings: jnp.ndarray,
     diff = diff & prototype_mask[None, :]
     ll = segsort_log_likelihood(embeddings, own_segment_ids, same, diff,
                                 prototypes, concentration)
+    if reduction == "none":
+        return ll
     return _masked_mean(ll, pixel_mask)
 
 
@@ -92,11 +99,12 @@ def set_segsort_loss(embeddings: jnp.ndarray,
                      prototype_semantic_tags: jnp.ndarray,
                      concentration: float,
                      pixel_mask: jnp.ndarray,
-                     prototype_mask: jnp.ndarray) -> jnp.ndarray:
+                     prototype_mask: jnp.ndarray,
+                     reduction: str = "mean") -> jnp.ndarray:
     """SetSegSortLoss (reference loss.py:193) with multi-hot tag labels.
 
     same = tag-set intersection non-empty, diff = empty intersection;
-    both restricted to valid prototypes.
+    both restricted to valid prototypes. reduction as in segsort_loss.
     """
     affinity = jnp.einsum("nc,pc->np", semantic_tags.astype(jnp.float32),
                           prototype_semantic_tags.astype(jnp.float32))
@@ -104,4 +112,6 @@ def set_segsort_loss(embeddings: jnp.ndarray,
     diff = (affinity == 0) & prototype_mask[None, :]
     ll = segsort_log_likelihood(embeddings, own_segment_ids, same, diff,
                                 prototypes, concentration)
+    if reduction == "none":
+        return ll
     return _masked_mean(ll, pixel_mask)

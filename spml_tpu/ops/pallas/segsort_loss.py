@@ -247,10 +247,12 @@ segsort_stats.defvjp(_stats_fwd, _stats_bwd)
 
 def fused_segsort_loss(embeddings, semantic_labels, own_segment_ids,
                        prototypes, prototype_semantic_labels, concentration,
-                       pixel_mask, prototype_mask, interpret=False):
+                       pixel_mask, prototype_mask, interpret=False,
+                       reduction="mean"):
     """Drop-in replacement for spml_tpu.ops.losses.segsort_loss backed by
     the fused kernel. Pads N to 256 and P to 512 internally; padded
-    pixels/prototypes are masked out exactly (invalid label -1)."""
+    pixels/prototypes are masked out exactly (invalid label -1).
+    reduction="none" returns the per-pixel [N] log-likelihoods."""
     n0 = embeddings.shape[0]
     emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
     pix_lab = _pad_to(semantic_labels.astype(jnp.int32), BLOCK_N, 0,
@@ -272,6 +274,8 @@ def fused_segsort_loss(embeddings, semantic_labels, own_segment_ids,
     # (loss.py:74-78).
     denominator = diff_s + numerator
     ll = -jnp.log(numerator / denominator)
+    if reduction == "none":
+        return ll
     m = pixel_mask.astype(jnp.float32)
     return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -463,8 +467,9 @@ set_segsort_stats.defvjp(_set_stats_fwd, _set_stats_bwd)
 def fused_set_segsort_loss(embeddings, semantic_tags, own_segment_ids,
                            prototypes, prototype_semantic_tags,
                            concentration, pixel_mask, prototype_mask,
-                           interpret=False):
-    """Drop-in replacement for spml_tpu.ops.losses.set_segsort_loss."""
+                           interpret=False, reduction="mean"):
+    """Drop-in replacement for spml_tpu.ops.losses.set_segsort_loss.
+    reduction="none" returns the per-pixel [N] log-likelihoods."""
     n0 = embeddings.shape[0]
     emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
     # zero-pad the tag width to a lane-friendly 128 (doesn't change dots)
@@ -485,6 +490,8 @@ def fused_set_segsort_loss(embeddings, semantic_tags, own_segment_ids,
     numerator = jnp.where(same_minus > 0, same_minus, own_s)
     denominator = diff_s + numerator
     ll = -jnp.log(numerator / denominator)
+    if reduction == "none":
+        return ll
     m = pixel_mask.astype(jnp.float32)
     return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -709,11 +716,13 @@ def _joint_bwd(kappa_a, kappa_o, interpret, residuals, grads):
 joint_segsort_stats.defvjp(_joint_fwd, _joint_bwd)
 
 
-def _ll_from_stats(own_s, same_s, diff_s, pixel_mask):
+def _ll_from_stats(own_s, same_s, diff_s, pixel_mask, reduction="mean"):
     same_minus = same_s - own_s
     numerator = jnp.where(same_minus > 0, same_minus, own_s)
     denominator = diff_s + numerator
     ll = -jnp.log(numerator / denominator)
+    if reduction == "none":
+        return ll
     m = pixel_mask.astype(jnp.float32)
     return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -730,8 +739,9 @@ def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
                        semantic_tags, prototypes, prototype_labels,
                        prototype_tags, kappa_ann, kappa_occ,
                        ann_pixel_mask, occ_pixel_mask, prototype_mask,
-                       interpret=False):
-    """(sem_ann, sem_occ) masked-mean losses in one fused sweep.
+                       interpret=False, reduction="mean"):
+    """(sem_ann, sem_occ) masked-mean losses in one fused sweep
+    (or per-pixel [N] log-likelihood pairs with reduction="none").
 
     prototype_labels must already be -1 for prototypes excluded from the
     hard-label loss; prototype_mask gates the tag loss. Tag sets are
@@ -752,6 +762,6 @@ def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
                                 pvalid, float(kappa_ann), float(kappa_occ),
                                 interpret)
     own_a, same_a, diff_a, own_o, same_o, diff_o = [s[:n0] for s in stats]
-    ann = _ll_from_stats(own_a, same_a, diff_a, ann_pixel_mask)
-    occ = _ll_from_stats(own_o, same_o, diff_o, occ_pixel_mask)
+    ann = _ll_from_stats(own_a, same_a, diff_a, ann_pixel_mask, reduction)
+    occ = _ll_from_stats(own_o, same_o, diff_o, occ_pixel_mask, reduction)
     return ann, occ

@@ -18,9 +18,11 @@ TPU re-design (one jit, no DataParallel):
 * prototypes stay fixed-capacity [B, P] with validity masks — see
   spml_tpu/ops/kmeans.py for the equivalence argument.
 
-Known deliberate deviation: the reference averages each loss per GPU
-then means over GPUs (train.py:211-219); we take the masked mean over
-all pixels of the global batch (equal weighting in the B -> inf limit).
+Loss reduction (train.py:211-219): the reference averages each loss per
+GPU then means over GPUs. config.tpu.loss_reduction='per_device_mean'
+(default) reproduces that exactly by grouping the global batch into
+train.batch_size-image groups; 'global_mean' takes one masked mean over
+all pixels (deviation quantified in tests/test_loss_reduction.py).
 """
 
 from __future__ import annotations
@@ -84,9 +86,11 @@ def init_state(config, rng, sample_image) -> TrainState:
                       memory=memory, rng=k3)
 
 
-def _cross_entropy(logits, labels, num_classes, ignore_index):
-    """Mean softmax CE over non-ignored pixels (labels >= num_classes are
-    ignored, segsort_softmax.py:122-131).
+def _cross_entropy(logits, labels, num_classes, ignore_index,
+                   n_groups=1):
+    """Softmax CE over non-ignored pixels (labels >= num_classes are
+    ignored, segsort_softmax.py:122-131), reduced per group
+    (_grouped_masked_mean).
 
     One-hot multiply-reduce instead of take_along_axis: the minor-dim
     gather over [B,512,512,C] costs ~32 ms/step on v5e (profiled), the
@@ -97,8 +101,22 @@ def _cross_entropy(logits, labels, num_classes, ignore_index):
     logp = jax.nn.log_softmax(logits, axis=-1)
     oh = jax.nn.one_hot(safe, num_classes, dtype=logp.dtype)
     nll = -jnp.sum(logp * oh, axis=-1)
-    m = valid.astype(jnp.float32)
-    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return _grouped_masked_mean(nll, valid, n_groups)
+
+
+def _grouped_masked_mean(values, mask, n_groups=1):
+    """Mean over each group's masked entries, then mean over non-empty
+    groups. n_groups=1 == plain masked mean; n_groups=#devices == the
+    reference's per-GPU torch.mean + cross-GPU .mean() (train.py:211-219,
+    loss.py:51-52 — each GPU averages its own index_select'ed pixels).
+    """
+    v = values.reshape(n_groups, -1).astype(jnp.float32)
+    m = mask.reshape(n_groups, -1).astype(jnp.float32)
+    gsum = jnp.sum(v * m, axis=1)
+    gcnt = jnp.sum(m, axis=1)
+    gmean = gsum / jnp.maximum(gcnt, 1.0)
+    has = (gcnt > 0).astype(jnp.float32)
+    return jnp.sum(gmean * has) / jnp.maximum(jnp.sum(has), 1.0)
 
 
 def make_train_step(config, emb_model=None, cls_model=None):
@@ -121,6 +139,17 @@ def make_train_step(config, emb_model=None, cls_model=None):
     use_feat_aff = tcfg.feat_aff_loss_types != "none"
     densepose = "densepose" in config.network.backbone_types
     tx = None  # built lazily against the param tree
+
+    def _n_groups(B):
+        """Reduction groups: one per train.batch_size images (the
+        reference's per-GPU granularity). Falls back to a single group
+        when the global batch isn't a multiple (e.g. ad-hoc tests) or
+        under 'global_mean'."""
+        bs = tcfg.batch_size
+        if (config.tpu.loss_reduction != "per_device_mean"
+                or bs <= 0 or B % bs != 0):
+            return 1
+        return B // bs
 
     schedule = optim.make_schedule(tcfg)
 
@@ -150,7 +179,7 @@ def make_train_step(config, emb_model=None, cls_model=None):
             logits_up = resize_bilinear(
                 logits, (images.shape[1], images.shape[2]))
             ce = _cross_entropy(logits_up, batch["semantic_label"], C,
-                                ignore)
+                                ignore, _n_groups(B))
             pred = jnp.argmax(logits_up, axis=-1)
             valid = batch["semantic_label"] < C
             acc = (jnp.sum((pred == batch["semantic_label"]) & valid)
@@ -245,7 +274,8 @@ def make_train_step(config, emb_model=None, cls_model=None):
             rngs={"dropout": rng})
         logits_up = resize_bilinear(
             logits, (images.shape[1], images.shape[2]))
-        ce = _cross_entropy(logits_up, batch["semantic_label"], C, ignore)
+        ce = _cross_entropy(logits_up, batch["semantic_label"], C, ignore,
+                            _n_groups(B))
 
         # ---- semantic co-occurrence tags ----
         # VOC: dataset-level multi-hot tags (segsort_softmax.py:146-151).
@@ -285,41 +315,53 @@ def make_train_step(config, emb_model=None, cls_model=None):
             # one fused sweep computes both losses' statistics (the two
             # losses share the same pixel/prototype pairs)
             from spml_tpu.ops.pallas.segsort_loss import fused_joint_losses
-            ann, occ = fused_joint_losses(
+            ann_ll, occ_ll = fused_joint_losses(
                 emb_flat.reshape(-1, D), pix_sem, pix_own, occ_pix_tags,
                 all_protos, jnp.where(ann_proto_mask, all_sem, -1),
                 occ_proto_tags, tcfg.sem_ann_concentration,
                 tcfg.sem_occ_concentration, ann_pix_mask, pix_valid,
-                all_valid)
+                all_valid, reduction="none")
+            ann = _grouped_masked_mean(ann_ll, ann_pix_mask, _n_groups(B))
+            occ = _grouped_masked_mean(occ_ll, pix_valid, _n_groups(B))
         else:
             if use_sem_ann:
                 if config.tpu.use_fused_loss:
                     from spml_tpu.ops.pallas.segsort_loss import \
                         fused_segsort_loss
-                    ann = fused_segsort_loss(
+                    ann_ll = fused_segsort_loss(
                         emb_flat.reshape(-1, D), pix_sem, pix_own,
                         all_protos,
                         jnp.where(ann_proto_mask, all_sem, -1),
                         tcfg.sem_ann_concentration, ann_pix_mask,
-                        ann_proto_mask)
+                        ann_proto_mask, reduction="none")
+                    ann = _grouped_masked_mean(ann_ll, ann_pix_mask,
+                                               _n_groups(B))
                 else:
-                    ann = losses.segsort_loss(
+                    ann_ll = losses.segsort_loss(
                         emb_flat.reshape(-1, D), pix_sem, pix_own,
                         all_protos, all_sem, tcfg.sem_ann_concentration,
-                        ann_pix_mask, ann_proto_mask)
+                        ann_pix_mask, ann_proto_mask, reduction="none")
+                    ann = _grouped_masked_mean(ann_ll, ann_pix_mask,
+                                               _n_groups(B))
             if use_sem_occ:
                 if config.tpu.use_fused_loss:
                     from spml_tpu.ops.pallas.segsort_loss import \
                         fused_set_segsort_loss
-                    occ = fused_set_segsort_loss(
+                    occ_ll = fused_set_segsort_loss(
                         emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
                         all_protos, occ_proto_tags,
-                        tcfg.sem_occ_concentration, pix_valid, all_valid)
+                        tcfg.sem_occ_concentration, pix_valid, all_valid,
+                        reduction="none")
+                    occ = _grouped_masked_mean(occ_ll, pix_valid,
+                                               _n_groups(B))
                 else:
-                    occ = losses.set_segsort_loss(
+                    occ_ll = losses.set_segsort_loss(
                         emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
                         all_protos, occ_proto_tags,
-                        tcfg.sem_occ_concentration, pix_valid, all_valid)
+                        tcfg.sem_occ_concentration, pix_valid, all_valid,
+                        reduction="none")
+                    occ = _grouped_masked_mean(occ_ll, pix_valid,
+                                               _n_groups(B))
 
         sem_ann = (ce + ann) * tcfg.sem_ann_loss_weight \
             if ann is not None else ce
@@ -347,8 +389,7 @@ def make_train_step(config, emb_model=None, cls_model=None):
                 sim_protos, segs.segment_instance, segs.segment_valid,
                 segs.pixel_valid)
             has_any = jnp.any(segs.pixel_valid, axis=-1)
-            img_sim = (jnp.sum(per_img * has_any)
-                       / jnp.maximum(jnp.sum(has_any), 1.0))
+            img_sim = _grouped_masked_mean(per_img, has_any, _n_groups(B))
             img_sim = img_sim * tcfg.img_sim_loss_weight
             metrics["img_sim_loss"] = img_sim
             total = total + img_sim
@@ -360,10 +401,11 @@ def make_train_step(config, emb_model=None, cls_model=None):
         # implement the paper/config semantics: the NN-propagated tag
         # set-loss at feat_aff concentration/weight.
         if use_feat_aff and densepose:
-            aff = losses.set_segsort_loss(
+            aff_ll = losses.set_segsort_loss(
                 emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
                 all_protos, occ_proto_tags, tcfg.feat_aff_concentration,
-                pix_valid, all_valid)
+                pix_valid, all_valid, reduction="none")
+            aff = _grouped_masked_mean(aff_ll, pix_valid, _n_groups(B))
             aff = aff * tcfg.feat_aff_loss_weight
             metrics["feat_aff_loss"] = aff
             total = total + aff
