@@ -40,6 +40,7 @@ def parse_args(description: str = "") -> tuple[argparse.Namespace, Config]:
     args = parser.parse_args()
 
     config = load_config(args.cfg_path)
+    enable_compilation_cache(config)
     if args.kmeans_num_clusters:
         config.network.kmeans_num_clusters = tuple(
             int(x) for x in args.kmeans_num_clusters.split(","))
@@ -48,6 +49,22 @@ def parse_args(description: str = "") -> tuple[argparse.Namespace, Config]:
     if args.data_dir:
         config.dataset.data_dir = args.data_dir
     return args, config
+
+
+def enable_compilation_cache(config) -> None:
+    """Point JAX at a persistent compilation cache so multi-minute
+    tunnel compiles (inference cluster step per pad bucket) are paid
+    once per machine. No-op when tpu.compilation_cache_dir is empty."""
+    cache_dir = getattr(config.tpu, "compilation_cache_dir", "")
+    if not cache_dir:
+        return
+    cache_dir = os.path.expanduser(cache_dir)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"compilation cache disabled: {e}")
 
 
 def crf_from_args(args):

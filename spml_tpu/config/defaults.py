@@ -54,7 +54,7 @@ class TrainConfig:
     resume: bool = False
     begin_iteration: int = 0
     max_iteration: int = 30000
-    warmup_iteration: int = 100
+    warmup_iteration: int = 0  # reference default.py:50 (bash sets 100)
     decay_iterations: tuple = ()
     snapshot_step: int = 10000
     tensorboard_step: int = 100
@@ -116,6 +116,13 @@ class TpuConfig:
     #   global batch (equal pixel weighting; differs when per-group valid
     #   counts are skewed — quantified in tests/test_loss_reduction.py).
     loss_reduction: str = "per_device_mean"
+    # inference: round padded shapes up to crop + k*stride so the set of
+    # compiled programs stays small (padding carries ignore labels, so
+    # results are unchanged modulo the sliding-window grid)
+    pad_to_stride_buckets: bool = True
+    # JAX persistent compilation cache directory ('' disables); warmup
+    # compiles are then paid once per machine, not per process
+    compilation_cache_dir: str = "~/.cache/spml_tpu_xla"
 
 
 @dataclass

@@ -17,9 +17,19 @@ Behavioral reference in twke18/SPML:
 
 TPU notes: the whole per-image pipeline (patch forward, overlap
 accumulation, clustering, KNN) stays ON DEVICE — only the input patches
-go up and the small prediction/prototype arrays come down. Each distinct
-crop/padded shape compiles once (padded shapes are multiples of the
-stride, so shapes bucket rather than exploding per image).
+go up and the small prediction/prototype arrays come down.
+
+Compile-latency control (compiles over the axon tunnel cost minutes):
+* padded shapes are BUCKETED up to crop + k*stride per axis, so the
+  set of jitted shapes is finite and small regardless of the dataset's
+  aspect-ratio spread (the extra padding carries ignore labels, which
+  the clustering masks out exactly like the reference's 255-padding,
+  inference.py:146-156);
+* InferenceEngine.warmup() AOT-compiles the patch/cluster programs for
+  every bucket reachable under test.image_size, so per-image latency is
+  steady-state from the first image;
+* spml_tpu.cli enables the JAX persistent compilation cache, so warmup
+  cost is paid once per machine, not once per process.
 """
 
 from __future__ import annotations
@@ -49,6 +59,8 @@ class InferenceEngine:
         self.variables = variables
         self.crop = tuple(config.test.crop_size)
         self.stride = tuple(config.test.stride)
+        self.pad_buckets = bool(
+            getattr(config.tpu, "pad_to_stride_buckets", True))
         self._embed_patch = jax.jit(self._embed_patch_impl)
         self._accumulate = jax.jit(self._accumulate_impl)
         self._cluster_predict = jax.jit(
@@ -76,12 +88,71 @@ class InferenceEngine:
                                               (sh, sw, 0))
         return total, counts
 
+    def _bucket(self, size: int, crop: int, stride: int) -> int:
+        """Round a padded dimension up to crop + k*stride so distinct
+        image sizes share compiled programs."""
+        if size <= crop:
+            return crop
+        k = int(math.ceil((size - crop) / stride))
+        return crop + k * stride
+
+    def bucket_shape(self, h: int, w: int) -> tuple[int, int]:
+        if not self.pad_buckets:
+            return max(h, self.crop[0]), max(w, self.crop[1])
+        return (self._bucket(h, self.crop[0], self.stride[0]),
+                self._bucket(w, self.crop[1], self.stride[1]))
+
+    def warmup(self, max_hw: int | None = None, num_classes: int | None = None,
+               memory=None, with_probs: bool = False) -> list:
+        """AOT-compile the patch embed + cluster programs for every pad
+        bucket reachable for images whose larger side <= max_hw
+        (default test.image_size, falling back to crop). `memory` must
+        be the ACTUAL (protos, labels, valid) arrays that will be passed
+        later — their shapes are part of the compiled signature.
+        Returns the warmed [Hp, Wp] bucket list."""
+        cfg = self.config
+        if max_hw is None:
+            max_hw = cfg.test.image_size or max(self.crop)
+        if num_classes is None:
+            num_classes = cfg.dataset.num_classes
+        hs = sorted({self._bucket(s, self.crop[0], self.stride[0])
+                     for s in range(1, max_hw + 1)})
+        ws = sorted({self._bucket(s, self.crop[1], self.stride[1])
+                     for s in range(1, max_hw + 1)})
+        if memory is not None:
+            mem_p, mem_l, mem_v = memory
+        else:
+            mem_p = jnp.zeros((20, cfg.network.embedding_dim),
+                              jnp.float32)
+            mem_l = jnp.zeros((20,), jnp.int32)
+            mem_v = jnp.zeros((20,), bool)
+        # the patch program has a single shape
+        self._embed_patch(jnp.zeros((1,) + self.crop + (3,)))
+        warmed = []
+        for ph in hs:
+            for pw in ws:
+                # an image can only reach bucket (ph, pw) if its aspect
+                # fits under max_hw; still warm the full grid — it's
+                # small and warming an unused shape is harmless
+                emb = jnp.zeros((ph, pw, cfg.network.embedding_dim),
+                                jnp.float32)
+                sem = jnp.zeros((ph, pw), jnp.int32)
+                inst = jnp.zeros((ph, pw), jnp.int32)
+                fn = self._cluster_probs if with_probs \
+                    else self._cluster_predict
+                jax.block_until_ready(fn(
+                    emb, sem, inst, mem_p, mem_l, mem_v,
+                    num_classes=num_classes))
+                warmed.append((ph, pw))
+        return warmed
+
     def stitched_embeddings(self, image: np.ndarray) -> jnp.ndarray:
         """image: [H, W, 3] already resized/normalized; returns
         overlap-averaged normalized embeddings [Hp, Wp, D] ON DEVICE."""
         crop_h, crop_w = self.crop
-        img = transforms.resize_with_pad(image, self.crop, 0.0)
-        pad_h, pad_w = img.shape[:2]
+        h0, w0 = image.shape[:2]
+        pad_h, pad_w = self.bucket_shape(h0, w0)
+        img = transforms.resize_with_pad(image, (pad_h, pad_w), 0.0)
         ends_h = patch_ends(pad_h, crop_h, self.stride[0])
         ends_w = patch_ends(pad_w, crop_w, self.stride[1])
 

@@ -58,6 +58,20 @@ def _load_memory(args, config):
             jnp.ones((protos.shape[0],), bool))
 
 
+def _warm(eng, config, scales=(1.0,), memory=None, with_probs=False):
+    """AOT-warm the engine's shape buckets (documented cost: one
+    compile per bucket, amortized across runs by the persistent cache)."""
+    import time
+    if config.test.image_size <= 0:
+        return
+    t0 = time.time()
+    warmed = eng.warmup(
+        max_hw=int(np.ceil(config.test.image_size * max(scales))),
+        memory=memory, with_probs=with_probs)
+    print(f"warmup: {len(warmed)} shape buckets in "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+
 def run_prototype(args, config, scales=None, save_clusters=True):
     """Build the semantic memory bank over the train split; also saves
     the cluster-index maps (reference prototype.py:217-227 layout:
@@ -65,6 +79,7 @@ def run_prototype(args, config, scales=None, save_clusters=True):
     import PIL.Image
     eng_model = cli.build_eval_models(config, args.snapshot_dir)
     eng = engine_lib.InferenceEngine(config, *eng_model)
+    _warm(eng, config, scales=scales or [1.0])
     out_dir = os.path.join(args.save_dir, "semantic_prototype")
     os.makedirs(out_dir, exist_ok=True)
     if save_clusters:
@@ -112,6 +127,8 @@ def run_knn_inference(args, config, msc=False, crf=False,
     eng_model = cli.build_eval_models(config, args.snapshot_dir)
     eng = engine_lib.InferenceEngine(config, *eng_model)
     memory = _load_memory(args, config)
+    _warm(eng, config, scales=scales if msc else (1.0,), memory=memory,
+          with_probs=(msc or crf))
     postprocessor = cli.crf_from_args(args) if crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
 
@@ -284,6 +301,7 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
     eng_model = cli.build_eval_models(config, args.snapshot_dir)
     eng = engine_lib.InferenceEngine(config, *eng_model)
     memory = _load_memory(args, config)
+    _warm(eng, config, scales=scales, memory=memory, with_probs=True)
     postprocessor = cli.crf_from_args(args) if with_crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
     C = config.dataset.num_classes

@@ -113,6 +113,13 @@ def param_labels(params) -> Any:
 
 def make_optimizer(params, train_cfg,
                    schedule: Callable | None = None) -> optax.GradientTransformation:
+    """SGD chain with the reference's exact update order
+    (lib/nn/optimizer.py:77-102): d_p = g + wd*p, THEN the per-group
+    multiplier and the step's schedule LR scale d_p, THEN the momentum
+    buffer accumulates (buf = m*buf + lr_t*mult*d_p; p -= buf). Folding
+    the LR into the buffer (rather than scaling the buffer by the
+    current LR) matters whenever the schedule changes over time: old
+    gradients decay at the LR of THEIR step."""
     labels = param_labels(params)
     if schedule is None:
         schedule = make_schedule(train_cfg)
@@ -129,9 +136,10 @@ def make_optimizer(params, train_cfg,
 
     return optax.chain(
         optax.add_decayed_weights(train_cfg.weight_decay, mask=wd_mask),
-        optax.trace(decay=train_cfg.momentum),
         group_scale,
-        optax.scale_by_learning_rate(schedule),  # scales by -lr(step)
+        optax.scale_by_schedule(schedule),   # +lr(step) into the buffer
+        optax.trace(decay=train_cfg.momentum),
+        optax.scale(-1.0),
     )
 
 

@@ -450,4 +450,6 @@ def make_train_step(config, emb_model=None, cls_model=None):
                                memory=new_memory, rng=rng)
         return new_state, metrics
 
+    # exposed for gradient-level parity tests (tests/, lockstep_parity)
+    train_step.forward_and_losses = forward_and_losses
     return train_step

@@ -40,7 +40,8 @@ def test_sliding_window_overlap_average_is_normalized_scale():
     eng, _ = _engine(crop=32, stride=16)
     img = np.random.RandomState(0).randn(48, 40, 3).astype(np.float32)
     emb = eng.stitched_embeddings(img)
-    assert emb.shape[:2] == (48, 40)
+    # 40 buckets up to crop + k*stride = 48 (shape-bucketed padding)
+    assert emb.shape[:2] == (48, 48)
     # overlap-averaged normalized embeddings have norm <= 1
     norms = np.linalg.norm(emb, axis=-1)
     assert norms.max() <= 1.0 + 1e-5
