@@ -3,17 +3,33 @@
 Flagship config = the reference's VOC scribble recipe
 (bashscripts/voc12/train_spml_scribble.sh:14-44 in twke18/SPML):
 ResNet-101 DeepLab, dim 64, crop 512, batch 4/chip, 6x6 k-means x10,
-memory bank 2, sem_ann+sem_occ+img_sim losses. The reference publishes
-no throughput numbers (BASELINE.md), so vs_baseline is null.
+memory bank 2, sem_ann+sem_occ+img_sim losses.
+
+The reference publishes no throughput numbers and this image has no GPU
+(BASELINE.md), so the baseline is the reference's OWN code measured
+locally on CPU at the same config (pyscripts/misc/measure_torch_baseline
+.py -> TORCH_BASELINE.json). vs_baseline = our TPU-chip imgs/s over that
+torch-CPU imgs/s — a cross-hardware ratio, with the caveat recorded in
+TORCH_BASELINE.json. Null only if the measurement artifact is absent.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _baseline_imgs_per_sec():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "TORCH_BASELINE.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f).get("torch_cpu_imgs_per_sec")
 
 
 def main():
@@ -89,11 +105,13 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec = b_global * iters / dt / n_dev
+    base = _baseline_imgs_per_sec()
     print(json.dumps({
         "metric": "spml_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": (round(imgs_per_sec / base, 2)
+                        if base else None),
     }))
 
 

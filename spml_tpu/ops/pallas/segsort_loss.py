@@ -27,9 +27,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile sizes: rows of pixels x columns of prototypes per step.
-BLOCK_N = 256
-BLOCK_P = 512
+# Tile sizes: rows of pixels x columns of prototypes per step. Tuned on
+# v5e at flagship scale (N=131072, P=6144, D=64) with
+# pyscripts/misc/tune_loss_tiles.py: (512, 1024) runs the joint
+# fwd+bwd in 33.5 ms vs 54.0 ms at (256, 512); (1024, 1024) and
+# (2048, 512) exceed the Mosaic VMEM budget and fail to compile.
+BLOCK_N = 512
+BLOCK_P = 1024
 
 
 def _pad_to(x, multiple, axis, value=0):
@@ -520,7 +524,13 @@ def _joint_stats_kernel(kappa_a, kappa_o, emb_ref, pix_lab_ref, own_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     sims_a = jnp.exp(logits * kappa_a)
-    sims_o = jnp.exp(logits * kappa_o)
+    # kappa ratio 2 (the flagship scribble config: 6/12): one exp + a
+    # square instead of two exps — exact to 1 ulp, and the exps are the
+    # kernel's dominant VPU cost
+    if kappa_o == 2.0 * kappa_a:
+        sims_o = sims_a * sims_a
+    else:
+        sims_o = jnp.exp(logits * kappa_o)
 
     pix_lab = pix_lab_ref[0, :]
     proto_lab = proto_lab_ref[0, :]
@@ -562,7 +572,10 @@ def _joint_grad_kernel(kappa_a, kappa_o, transpose, emb_ref, pix_lab_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     sims_a = jnp.exp(logits * kappa_a)
-    sims_o = jnp.exp(logits * kappa_o)
+    if kappa_o == 2.0 * kappa_a:  # see _joint_stats_kernel
+        sims_o = sims_a * sims_a
+    else:
+        sims_o = jnp.exp(logits * kappa_o)
 
     pix_lab = pix_lab_ref[0, :]
     proto_lab = proto_lab_ref[0, :]
