@@ -1,0 +1,103 @@
+"""Measure MSC KNN-inference per-image latency on the real TPU.
+
+Round-1 weakness: predict_topk_probs did a host-side one-hot scatter per
+pyramid member (10 members/image under MSC), syncing to host inside the
+loop. Round 2 moved the top-20 probability computation into the jitted
+cluster step. This measures the end-to-end per-image latency of the full
+MSC pyramid (scales x flip, on-device stitch + probs, host transfer of
+one [H,W,C] array per member) after shape-bucket warmup, and reports the
+warmup cost separately.
+
+Usage: python pyscripts/misc/msc_latency.py [--image_size 512] [--n 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image_size", type=int, default=512)
+    ap.add_argument("--scales", default="0.5,0.75,1,1.25,1.5")
+    ap.add_argument("--n", type=int, default=5, help="images to measure")
+    ap.add_argument("--dim", type=int, default=64)
+    args = ap.parse_args()
+    scales = [float(s) for s in args.scales.split(",")]
+
+    import jax
+    import jax.numpy as jnp
+
+    from spml_tpu.config import load_config
+    from spml_tpu.inference import engine as engine_lib
+    from spml_tpu.inference import msc as msc_lib
+    from spml_tpu.train import step as step_lib
+
+    size = args.image_size
+    cfg = load_config(overrides={
+        "network": {"backbone_types": "panoptic_deeplab_101",
+                    "embedding_dim": args.dim,
+                    "kmeans_num_clusters": [12, 12],
+                    "kmeans_iterations": 10},
+        "dataset": {"num_classes": 21},
+        "test": {"image_size": size, "crop_size": [size, size],
+                 "stride": [size, size]},
+        "tpu": {"compute_dtype": "bfloat16", "segment_capacity": 512},
+    })
+
+    emb_model, _ = step_lib.build_models(cfg)
+    evars = emb_model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    eng = engine_lib.InferenceEngine(cfg, emb_model, evars)
+
+    rng = np.random.RandomState(0)
+    n_mem = 4096
+    memory = (jnp.asarray(rng.randn(n_mem, args.dim), jnp.float32),
+              jnp.asarray(rng.randint(0, 21, (n_mem,)), jnp.int32),
+              jnp.ones((n_mem,), bool))
+
+    t0 = time.time()
+    warmed = eng.warmup(max_hw=int(np.ceil(size * max(scales))),
+                        memory=memory, with_probs=True)
+    warmup_s = time.time() - t0
+    print(f"warmup: {len(warmed)} buckets in {warmup_s:.1f}s", flush=True)
+
+    # distinct aspect ratios (first pass pays the per-exact-shape eager
+    # op compiles over the tunnel; the repeat pass is steady state —
+    # what a dataset run sees after its first epoch over the shapes, or
+    # from image one with the persistent compilation cache primed)
+    sizes = [(size, size), (size * 3 // 4, size), (size, size * 3 // 4),
+             (size * 2 // 3, size), (size // 2, size)][:args.n]
+    first, repeat = [], []
+    for phase, times in (("first", first), ("repeat", repeat)):
+        for i, (h, w) in enumerate(sizes):
+            img = rng.randn(h, w, 3).astype(np.float32)
+            t0 = time.time()
+            probs = msc_lib.msc_predict_probs(
+                lambda im: eng.predict_topk_probs(im, *memory,
+                                                  device_out=True),
+                img, scales=scales, is_flip=True)
+            dt = time.time() - t0
+            assert probs.shape == (h, w, 21) and np.isfinite(probs).all()
+            times.append(dt)
+            print(f"{phase} image {i} {h}x{w}: {dt:.2f}s", flush=True)
+
+    out = {"image_size": size, "scales": scales,
+           "pyramid_members": 2 * len(scales),
+           "warmup_buckets": len(warmed), "warmup_s": round(warmup_s, 1),
+           "first_pass_median_s": round(float(np.median(first)), 2),
+           "steady_state_median_s": round(float(np.median(repeat)), 2)}
+    print(json.dumps(out))
+    with open(os.path.join(ROOT, "MSC_LATENCY.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

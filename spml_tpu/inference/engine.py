@@ -251,9 +251,14 @@ class InferenceEngine:
         return np.asarray(pred)[:h, :w]
 
     def predict_topk_probs(self, image: np.ndarray, memory_protos,
-                           memory_labels, memory_valid) -> np.ndarray:
+                           memory_labels, memory_valid,
+                           device_out: bool = False):
         """[H, W, C] probabilities from averaging one-hot top-20 labels
-        (inference_msc.py:221-240); used by MSC / CRF variants."""
+        (inference_msc.py:221-240); used by MSC / CRF variants.
+
+        device_out=True returns the device array (MSC averages the
+        pyramid on device and downloads once — over the tunneled chip
+        the per-member download dominates the MSC latency otherwise)."""
         c = self.config.dataset.num_classes
         emb_map = self.stitched_embeddings(image)
         pad_h, pad_w = emb_map.shape[:2]
@@ -262,6 +267,8 @@ class InferenceEngine:
         probs = self._cluster_probs(
             emb_map, sem, inst, memory_protos, memory_labels,
             memory_valid, num_classes=c)
+        if device_out:
+            return probs[:h, :w]
         return np.asarray(probs)[:h, :w]
 
     def build_prototypes(self, image: np.ndarray,

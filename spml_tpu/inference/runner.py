@@ -139,7 +139,8 @@ def run_knn_inference(args, config, msc=False, crf=False,
         if msc or crf:
             if msc:
                 probs = msc_lib.msc_predict_probs(
-                    lambda im: eng.predict_topk_probs(im, *memory),
+                    lambda im: eng.predict_topk_probs(
+                        im, *memory, device_out=True),
                     image, scales=scales, is_flip=True)
             else:
                 probs = eng.predict_topk_probs(image, *memory)
@@ -170,8 +171,9 @@ def run_softmax_inference(args, config, msc=False, crf=False,
         oh, ow = image0.shape[:2]
         image, _, _ = _maybe_resize_input(config, image0)
         if msc:
-            probs = msc_lib.msc_predict_probs(eng.predict_probs, image,
-                                              scales=scales, is_flip=True)
+            probs = msc_lib.msc_predict_probs(
+                lambda im: eng.predict_probs(im, device_out=True),
+                image, scales=scales, is_flip=True)
         else:
             probs = eng.predict_probs(image)
         probs = transforms._resize_image(probs, oh, ow)
@@ -271,8 +273,9 @@ def run_pseudo_softmax(args, config, with_crf=False, with_walk=True,
     for _, base, image, sem, _ in cli.iterate_test_images(
             config, args.data_dir, args.data_list):
         h, w = image.shape[:2]
-        probs = msc_lib.msc_predict_probs(eng.predict_probs, image,
-                                          scales=scales, is_flip=True)
+        probs = msc_lib.msc_predict_probs(
+            lambda im: eng.predict_probs(im, device_out=True),
+            image, scales=scales, is_flip=True)
         probs = probs.transpose(2, 0, 1)  # [C, h, w]
         # mask to the image's tags and max-normalize
         # (pseudo_softmaxrw_crf.py:146-158)
@@ -311,7 +314,8 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
             config, args.data_dir, args.data_list):
         oh, ow = image.shape[:2]
         probs = msc_lib.msc_predict_probs(
-            lambda im: eng.predict_topk_probs(im, *memory),
+            lambda im: eng.predict_topk_probs(im, *memory,
+                                              device_out=True),
             image, scales=scales, is_flip=True)
         probs = probs.transpose(2, 0, 1)
         if sem is not None:

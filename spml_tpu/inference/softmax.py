@@ -37,9 +37,11 @@ class SoftmaxInferenceEngine:
         logits = self.cls_model.apply(self.cls_vars, emb, train=False)
         return logits
 
-    def predict_logits(self, image: np.ndarray) -> np.ndarray:
+    def predict_logits(self, image: np.ndarray,
+                       device_out: bool = False):
         """[H, W, C] summed sliding-window logits at image resolution.
-        Accumulation stays on device; only the final map comes down."""
+        Accumulation stays on device; only the final map comes down
+        (or stays up with device_out=True, for MSC's on-device mean)."""
         import jax.lax as lax
         crop_h, crop_w = self.crop
         img = transforms.resize_with_pad(image, self.crop, 0.0)
@@ -59,9 +61,12 @@ class SoftmaxInferenceEngine:
                 total = lax.dynamic_update_slice(total, cur + logits,
                                                  (sh, sw, 0))
         h, w = image.shape[:2]
+        if device_out:
+            return total[:h, :w]
         return np.asarray(total[:h, :w])
 
-    def predict_probs(self, image: np.ndarray) -> np.ndarray:
-        logits = self.predict_logits(image)
-        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
-        return e / e.sum(axis=-1, keepdims=True)
+    def predict_probs(self, image: np.ndarray,
+                      device_out: bool = False):
+        logits = self.predict_logits(image, device_out=True)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return probs if device_out else np.asarray(probs)
