@@ -80,10 +80,11 @@ def main():
         for i, (h, w) in enumerate(sizes):
             img = rng.randn(h, w, 3).astype(np.float32)
             t0 = time.time()
-            probs = msc_lib.msc_predict_probs(
+            probs = msc_lib.msc_predict_probs_bucketed(
                 lambda im: eng.predict_topk_probs(im, *memory,
-                                                  device_out=True),
-                img, scales=scales, is_flip=True)
+                                                  bucket_out=True),
+                img, scales=scales, bucket_shape=eng.bucket_shape,
+                is_flip=True)
             dt = time.time() - t0
             assert probs.shape == (h, w, 21) and np.isfinite(probs).all()
             times.append(dt)

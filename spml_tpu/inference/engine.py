@@ -252,13 +252,17 @@ class InferenceEngine:
 
     def predict_topk_probs(self, image: np.ndarray, memory_protos,
                            memory_labels, memory_valid,
-                           device_out: bool = False):
+                           device_out: bool = False,
+                           bucket_out: bool = False):
         """[H, W, C] probabilities from averaging one-hot top-20 labels
         (inference_msc.py:221-240); used by MSC / CRF variants.
 
-        device_out=True returns the device array (MSC averages the
-        pyramid on device and downloads once — over the tunneled chip
-        the per-member download dominates the MSC latency otherwise)."""
+        device_out=True returns the device array; bucket_out=True
+        additionally skips the [:h, :w] crop and returns the full
+        bucket-shaped map — the crop is an exact-shape eager op that
+        compiles per distinct image size over the tunnel, so the MSC
+        path keeps everything bucket-shaped
+        (msc.msc_predict_probs_bucketed)."""
         c = self.config.dataset.num_classes
         emb_map = self.stitched_embeddings(image)
         pad_h, pad_w = emb_map.shape[:2]
@@ -267,6 +271,8 @@ class InferenceEngine:
         probs = self._cluster_probs(
             emb_map, sem, inst, memory_protos, memory_labels,
             memory_valid, num_classes=c)
+        if bucket_out:
+            return probs
         if device_out:
             return probs[:h, :w]
         return np.asarray(probs)[:h, :w]

@@ -17,6 +17,10 @@ download of full probability maps was the dominant MSC cost (measured
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from spml_tpu.data import transforms
@@ -58,3 +62,82 @@ def msc_predict_probs(predict_probs_fn, image: np.ndarray, scales,
         acc = probs if acc is None else acc + probs
         n += 1
     return np.asarray(acc / n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_bucket", "flip"))
+def _resize_accumulate(acc, probs, in_hw, out_hw, out_bucket, flip):
+    """acc += bilinear_resize(probs[:in_h, :in_w], (out_h, out_w)),
+    un-flipping first, ALL at static bucket shapes.
+
+    probs: [Hb', Wb', C] with the valid member prediction in
+    [:in_h, :in_w]; acc: [Hb, Wb, C] with the base image occupying
+    [:out_h, :out_w]. in_hw / out_hw are TRACED scalars, so one compiled
+    program serves every image that maps to the same (in-bucket,
+    out-bucket, flip) triple — this is what caps the MSC compile set at
+    the bucket grid instead of one program per exact image shape.
+
+    The resize is expressed as two dense matmuls with on-the-fly
+    bilinear weight matrices (half-pixel centers, edge clamp, no
+    antialias) == cv2.INTER_LINEAR == the reference's prob resize
+    (inference_msc.py:230-231). Rows/cols beyond the valid output
+    region accumulate garbage; callers slice [:out_h, :out_w] at the
+    end (every member shares the same base region).
+    """
+    in_h = in_hw[0].astype(jnp.float32)
+    in_w = in_hw[1].astype(jnp.float32)
+    out_h = out_hw[0].astype(jnp.float32)
+    out_w = out_hw[1].astype(jnp.float32)
+
+    def weights(n_out_b, n_in_b, valid_out, valid_in, reverse):
+        i = jnp.arange(n_out_b, dtype=jnp.float32)
+        src = jnp.clip((i + 0.5) * (valid_in / valid_out) - 0.5,
+                       0.0, valid_in - 1.0)
+        if reverse:  # member was predicted on the flipped image
+            src = (valid_in - 1.0) - src
+        y = jnp.arange(n_in_b, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - y[None, :]))
+
+    wr = weights(acc.shape[0], probs.shape[0], out_h, in_h, False)
+    wc = weights(acc.shape[1], probs.shape[1], out_w, in_w, flip)
+    del out_bucket
+    tmp = jnp.einsum("oi,iwc->owc", wr, probs,
+                     preferred_element_type=jnp.float32)
+    res = jnp.einsum("pw,owc->opc", wc, tmp,
+                     preferred_element_type=jnp.float32)
+    return acc + res
+
+
+def msc_predict_probs_bucketed(predict_bucket_fn, image: np.ndarray,
+                               scales, bucket_shape,
+                               is_flip: bool = True) -> np.ndarray:
+    """MSC average with the ENTIRE post-prediction pipeline at static
+    bucket shapes: one compiled resize/accumulate program per
+    (member-bucket, base-bucket, flip) triple instead of one per exact
+    image shape (compiles over the tunneled chip cost ~seconds EACH, so
+    exact-shape programs made the first pass over a new aspect ratio
+    ~20x slower than steady state).
+
+    predict_bucket_fn(img) -> [Hb', Wb', C] device probs, valid in
+    [:img_h, :img_w] (InferenceEngine.predict_topk_probs with
+    bucket_out=True). bucket_shape(h, w) -> the engine's pad bucket.
+    """
+    import jax.numpy as jnp
+
+    h, w = image.shape[:2]
+    out_b = bucket_shape(h, w)
+    acc = None
+    n = 0
+    out_hw = jnp.asarray([h, w], jnp.int32)
+    for img, _, flipped in image_pyramid(image, scales, is_flip):
+        probs = predict_bucket_fn(img)
+        if acc is None:
+            acc = jnp.zeros(out_b + (probs.shape[-1],), jnp.float32)
+        in_hw = jnp.asarray(img.shape[:2], jnp.int32)
+        acc = _resize_accumulate(acc, probs, in_hw, out_hw,
+                                 out_bucket=out_b, flip=bool(flipped))
+        n += 1
+    # download the whole bucket and crop on HOST: a device [:h, :w]
+    # slice would compile per exact image shape — the very cost this
+    # path exists to avoid
+    return np.asarray(acc)[:h, :w] / n

@@ -138,10 +138,11 @@ def run_knn_inference(args, config, msc=False, crf=False,
         image, _, _ = _maybe_resize_input(config, image0)
         if msc or crf:
             if msc:
-                probs = msc_lib.msc_predict_probs(
+                probs = msc_lib.msc_predict_probs_bucketed(
                     lambda im: eng.predict_topk_probs(
-                        im, *memory, device_out=True),
-                    image, scales=scales, is_flip=True)
+                        im, *memory, bucket_out=True),
+                    image, scales=scales,
+                    bucket_shape=eng.bucket_shape, is_flip=True)
             else:
                 probs = eng.predict_topk_probs(image, *memory)
             probs = transforms._resize_image(probs, oh, ow)
@@ -313,10 +314,11 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
     for _, base, image, sem, _ in cli.iterate_test_images(
             config, args.data_dir, args.data_list):
         oh, ow = image.shape[:2]
-        probs = msc_lib.msc_predict_probs(
+        probs = msc_lib.msc_predict_probs_bucketed(
             lambda im: eng.predict_topk_probs(im, *memory,
-                                              device_out=True),
-            image, scales=scales, is_flip=True)
+                                              bucket_out=True),
+            image, scales=scales, bucket_shape=eng.bucket_shape,
+            is_flip=True)
         probs = probs.transpose(2, 0, 1)
         if sem is not None:
             tags = np.zeros(C, np.float32)

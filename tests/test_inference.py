@@ -140,3 +140,62 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.arange(4.0))
     np.testing.assert_array_equal(np.asarray(restored["b"]["c"]),
                                   np.ones((2, 2)))
+
+
+def test_resize_accumulate_matches_bilinear():
+    """msc._resize_accumulate (bucket-static matmul bilinear with traced
+    valid sizes + source-reversed unflip) == resize-then-unflip with the
+    repo's cv2-equivalent resize kernel, on the valid region."""
+    from spml_tpu.models.spp import resize_bilinear
+
+    rng = np.random.RandomState(3)
+    in_b, out_b = (12, 16), (10, 14)
+    in_hw, out_hw = (9, 13), (7, 11)
+    probs = np.zeros(in_b + (3,), np.float32)
+    valid = rng.rand(*in_hw, 3).astype(np.float32)
+    probs[:in_hw[0], :in_hw[1]] = valid
+
+    for flip in (False, True):
+        expected = np.asarray(resize_bilinear(
+            jnp.asarray(valid)[None], out_hw)[0])
+        if flip:
+            expected = expected[:, ::-1]
+        acc = jnp.zeros(out_b + (3,), jnp.float32)
+        out = msc_lib._resize_accumulate(
+            acc, jnp.asarray(probs), jnp.asarray(in_hw, jnp.int32),
+            jnp.asarray(out_hw, jnp.int32), out_bucket=out_b, flip=flip)
+        np.testing.assert_allclose(
+            np.asarray(out)[:out_hw[0], :out_hw[1]], expected,
+            rtol=1e-5, atol=1e-5)
+    # accumulation: calling twice doubles
+    out2 = msc_lib._resize_accumulate(
+        out, jnp.asarray(probs), jnp.asarray(in_hw, jnp.int32),
+        jnp.asarray(out_hw, jnp.int32), out_bucket=out_b, flip=True)
+    np.testing.assert_allclose(np.asarray(out2), 2 * np.asarray(out),
+                               rtol=1e-6)
+
+
+def test_msc_bucketed_equals_plain():
+    """msc_predict_probs_bucketed == msc_predict_probs on the same
+    engine (both resize with the cv2-equivalent kernel)."""
+    eng, cfg = _engine(crop=32, stride=32)
+    rng = np.random.RandomState(2)
+    img = rng.randn(30, 32, 3).astype(np.float32)
+    gt = np.zeros((30, 32), np.int32)
+    gt[15:, :] = 2
+    protos, labels, valid = eng.build_prototypes(img, gt)
+    mp = jnp.asarray(np.tile(protos[valid], (20, 1)))
+    ml = jnp.asarray(np.tile(labels[valid], 20))
+    mv = jnp.ones((20 * int(valid.sum()),), bool)
+
+    plain = msc_lib.msc_predict_probs(
+        lambda im: eng.predict_topk_probs(im, mp, ml, mv,
+                                          device_out=True),
+        img, scales=[0.75, 1.0], is_flip=True)
+    bucketed = msc_lib.msc_predict_probs_bucketed(
+        lambda im: eng.predict_topk_probs(im, mp, ml, mv,
+                                          bucket_out=True),
+        img, scales=[0.75, 1.0], bucket_shape=eng.bucket_shape,
+        is_flip=True)
+    assert bucketed.shape == plain.shape == (30, 32, 4)
+    np.testing.assert_allclose(bucketed, plain, rtol=1e-4, atol=1e-5)
