@@ -143,7 +143,31 @@ class InferenceEngine:
                 jax.block_until_ready(fn(
                     emb, sem, inst, mem_p, mem_l, mem_v,
                     num_classes=num_classes))
+                # the overlap accumulator + its final division also
+                # compile once per bucket — warm them too so the first
+                # real image is steady-state
+                total = jnp.zeros((ph, pw, cfg.network.embedding_dim),
+                                  jnp.float32)
+                counts = jnp.zeros((ph, pw, 1), jnp.float32)
+                e = jnp.zeros(self.crop + (cfg.network.embedding_dim,),
+                              jnp.float32)
+                total, counts = self._accumulate(total, counts, e, 0, 0)
+                jax.block_until_ready(total / counts)
                 warmed.append((ph, pw))
+        if with_probs:
+            # MSC's bucket-static resize/accumulate programs:
+            # one per (member-bucket, base-bucket, flip)
+            from spml_tpu.inference import msc as msc_lib
+            hw = jnp.asarray([self.crop[0], self.crop[1]], jnp.int32)
+            for pb in warmed:
+                probs = jnp.zeros(pb + (num_classes,), jnp.float32)
+                for ob in warmed:
+                    acc = jnp.zeros(ob + (num_classes,), jnp.float32)
+                    for flip in (False, True):
+                        jax.block_until_ready(
+                            msc_lib._resize_accumulate(
+                                acc, probs, hw, hw, out_bucket=ob,
+                                flip=flip))
         return warmed
 
     def stitched_embeddings(self, image: np.ndarray) -> jnp.ndarray:
