@@ -68,7 +68,10 @@ def make_world(root, rng, n_train=48, n_val=12):
         inst = np.zeros((SIZE, SIZE), np.uint8)
         yy, xx = np.mgrid[:SIZE, :SIZE]
         for k in range(rng.randint(2, 4)):
-            cls = rng.randint(1, N_CLASSES)
+            # cycle the first shape's class so every class is present
+            # in both splits; remaining shapes are random
+            cls = (1 + i % (N_CLASSES - 1)) if k == 0 \
+                else rng.randint(1, N_CLASSES)
             cy, cx = rng.randint(24, SIZE - 24, 2)
             if rng.rand() < 0.5:
                 r = rng.randint(14, 30)
