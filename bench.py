@@ -12,6 +12,11 @@ locally on CPU at the same config (pyscripts/misc/measure_torch_baseline
 torch-CPU imgs/s — a cross-hardware ratio, with the caveat recorded in
 TORCH_BASELINE.json. Null only if the measurement artifact is absent.
 
+Labels: by default the same blobby synthetic distribution the torch
+baseline was measured on (~20-25% prototype fill, like real data);
+--dense switches to i.i.d. random labels (~100% fill — the worst case
+for the compacted loss kernels; see COMPACTION_BENCH.json).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -49,6 +54,8 @@ def main():
         if "--crop" in sys.argv else 512
     fused = "--no-fused" not in sys.argv
 
+    from spml_tpu.cli import enable_compilation_cache
+
     cfg = load_config(overrides={
         "network": {"backbone_types": "panoptic_deeplab_101",
                     "embedding_dim": 64,
@@ -68,21 +75,38 @@ def main():
                 "use_fused_loss": fused},
     })
 
+    enable_compilation_cache(cfg)
+
     n_dev = 1
     mesh = mesh_lib.make_mesh(num_devices=n_dev)
     b_global = batch * n_dev
 
     rng = np.random.RandomState(0)
-    data = {
-        "image": jnp.asarray(rng.randn(b_global, crop, crop, 3),
-                             jnp.float32),
-        "semantic_label": jnp.asarray(
-            rng.randint(0, 21, (b_global, crop, crop)), jnp.int32),
-        "instance_label": jnp.asarray(
-            rng.randint(0, 64, (b_global, crop, crop)), jnp.int32),
-        "semantic_tag": jnp.asarray(rng.rand(b_global, 256) > 0.8,
-                                    jnp.int32),
-    }
+    if "--dense" in sys.argv:
+        # worst case: i.i.d. random labels fill ~100% of the prototype
+        # capacity, so the loss kernels sweep every tile (valid-prototype
+        # compaction can skip nothing)
+        data = {
+            "image": jnp.asarray(rng.randn(b_global, crop, crop, 3),
+                                 jnp.float32),
+            "semantic_label": jnp.asarray(
+                rng.randint(0, 21, (b_global, crop, crop)), jnp.int32),
+            "instance_label": jnp.asarray(
+                rng.randint(0, 64, (b_global, crop, crop)), jnp.int32),
+            "semantic_tag": jnp.asarray(rng.rand(b_global, 256) > 0.8,
+                                        jnp.int32),
+        }
+    else:
+        # default: the SAME blobby label distribution the torch-CPU
+        # baseline (TORCH_BASELINE.json) and the lockstep parity run were
+        # measured on — a few labeled object regions per image, ~20-25%
+        # prototype fill, like real segmentation data. Keeps the
+        # vs_baseline ratio apples-to-apples.
+        import pyscripts.misc.lockstep_parity as lp
+        lp.SCEN.update(batch=b_global, crop=crop, num_classes=21,
+                       ignore=255)
+        b = lp.make_batches(1)[0]
+        data = {k: jnp.asarray(v) for k, v in b.items()}
 
     state = step_lib.init_state(cfg, jax.random.PRNGKey(0),
                                 jnp.zeros((b_global, crop, crop, 3)))
@@ -96,6 +120,10 @@ def main():
         state, metrics = train_step(state, data)
     jax.block_until_ready(metrics)
     assert np.isfinite(float(metrics["loss"])), "non-finite loss"
+    nseg = int(metrics["num_segments"])
+    cap = b_global * cfg.tpu.segment_capacity
+    print(f"valid segments: {nseg}/{cap} ({nseg / cap:.1%} of capacity)",
+          file=sys.stderr)
 
     iters = 10
     t0 = time.perf_counter()

@@ -9,6 +9,20 @@ VMEM flash-attention-style and emits only the three [N] statistics;
 the backward pass recomputes tiles and accumulates dE / dP the same way,
 so peak memory is O(N + P) instead of O(N * P).
 
+Valid-prototype compaction: the prototype array is fixed-capacity
+(tpu.segment_capacity slots per image x batch x memory bank) but real
+scribble/tag data fills only ~25-40% of it — the reference pays nothing
+for empty slots because torch.unique shrinks its prototype matrix
+dynamically. Here the fused wrappers sort prototypes valid-first (the
+losses are permutation-invariant; own indices are remapped through the
+inverse permutation) and hand the kernel the valid count as a
+scalar-prefetch argument; whole prototype tiles past the count are
+skipped with pl.when. Skipped tiles contribute exactly zero to every
+statistic because the sort key is the union of the kernel's own
+validity tests (label >= 0 / mask > 0) and "is some masked pixel's own
+prototype", so the skip is exact, not approximate — locked by
+tests/test_pallas_loss.py against the dense formulation.
+
 Two front-ends:
 * segsort_stats — hard labels (sem_ann / img_sim): same-class test is
   label equality; invalid prototypes (label -1 by convention) land in
@@ -46,7 +60,37 @@ def _pad_to(x, multiple, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _stats_kernel(kappa, emb_ref, pix_lab_ref, own_ref, protos_ref,
+def _compact_prototypes(valid_any, proto_arrays, own_idx):
+    """Sort prototypes so every row the kernel can touch comes first.
+
+    valid_any [P] bool: union of all validity tests the kernel applies
+    plus the own-prototype rows of masked pixels. The losses are
+    invariant under prototype permutation (own indices are remapped),
+    so this changes nothing but which tiles the kernel may skip.
+
+    Returns (sorted proto_arrays, remapped own_idx, valid count [1]).
+    """
+    p = valid_any.shape[0]
+    order = jnp.argsort(jnp.where(valid_any, 0, 1).astype(jnp.int32),
+                        stable=True)
+    inv = jnp.zeros((p,), jnp.int32).at[order].set(
+        jnp.arange(p, dtype=jnp.int32))
+    sorted_arrays = [a[order] for a in proto_arrays]
+    new_own = jnp.take(inv, own_idx.astype(jnp.int32), axis=0)
+    count = jnp.sum(valid_any.astype(jnp.int32)).reshape(1)
+    return sorted_arrays, new_own, count
+
+
+def _own_flag(own_idx, pixel_mask, p):
+    """[P] bool: prototype is the own-prototype of some masked pixel
+    (its own-similarity enters that pixel's statistics even when the
+    prototype fails the kernel's validity tests)."""
+    return (jnp.zeros((p,), jnp.int32)
+            .at[own_idx.astype(jnp.int32)]
+            .max(pixel_mask.astype(jnp.int32)) > 0)
+
+
+def _stats_kernel(kappa, nv_ref, emb_ref, pix_lab_ref, own_ref, protos_ref,
                   proto_lab_ref, own_out, same_out, diff_out):
     j = pl.program_id(1)
 
@@ -56,59 +100,66 @@ def _stats_kernel(kappa, emb_ref, pix_lab_ref, own_ref, protos_ref,
         same_out[...] = jnp.zeros_like(same_out)
         diff_out[...] = jnp.zeros_like(diff_out)
 
-    logits = jax.lax.dot_general(
-        emb_ref[...], protos_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sims = jnp.exp(logits * kappa)  # [BLOCK_N, BLOCK_P]
+    # prototypes are compacted valid-first; tiles wholly past the valid
+    # count contribute exactly zero to every statistic
+    @pl.when(j * BLOCK_P < nv_ref[0])
+    def _():
+        logits = jax.lax.dot_general(
+            emb_ref[...], protos_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sims = jnp.exp(logits * kappa)  # [BLOCK_N, BLOCK_P]
 
-    pix_lab = pix_lab_ref[0, :]      # [BLOCK_N]
-    proto_lab = proto_lab_ref[0, :]  # [BLOCK_P]
-    valid = (proto_lab >= 0)[None, :]
-    same = (pix_lab[:, None] == proto_lab[None, :]) & valid
-    diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
+        pix_lab = pix_lab_ref[0, :]      # [BLOCK_N]
+        proto_lab = proto_lab_ref[0, :]  # [BLOCK_P]
+        valid = (proto_lab >= 0)[None, :]
+        same = (pix_lab[:, None] == proto_lab[None, :]) & valid
+        diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
 
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-    col = col + j * BLOCK_P
-    own_mask = col == own_ref[0, :][:, None]
+        col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        col = col + j * BLOCK_P
+        own_mask = col == own_ref[0, :][:, None]
 
-    own_out[0, :] += jnp.sum(jnp.where(own_mask, sims, 0.0), axis=1)
-    same_out[0, :] += jnp.sum(jnp.where(same, sims, 0.0), axis=1)
-    diff_out[0, :] += jnp.sum(jnp.where(diff, sims, 0.0), axis=1)
+        own_out[0, :] += jnp.sum(jnp.where(own_mask, sims, 0.0), axis=1)
+        same_out[0, :] += jnp.sum(jnp.where(same, sims, 0.0), axis=1)
+        diff_out[0, :] += jnp.sum(jnp.where(diff, sims, 0.0), axis=1)
 
 
-def _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab, kappa,
-                    interpret):
+def _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab, num_valid,
+                    kappa, interpret):
     n, d = emb.shape
     p = protos.shape[0]
-    grid = (n // BLOCK_N, p // BLOCK_P)
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // BLOCK_N, p // BLOCK_P),
+        in_specs=[
+            pl.BlockSpec((BLOCK_N, d), lambda i, j, nv: (i, 0)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+            pl.BlockSpec((BLOCK_P, d), lambda i, j, nv: (j, 0)),
+            pl.BlockSpec((1, BLOCK_P), lambda i, j, nv: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+            pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+        ],
+    )
     out_shape = [jax.ShapeDtypeStruct((1, n), jnp.float32)] * 3
     kernel = functools.partial(_stats_kernel, kappa)
     own, same, diff = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-        ],
+        grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(emb, pix_lab[None], own_idx[None], protos, proto_lab[None])
+    )(num_valid, emb, pix_lab[None], own_idx[None], protos, proto_lab[None])
     return own[0], same[0], diff[0]
 
 
-def _grad_coeff_kernel(kappa, emb_ref, pix_lab_ref, own_ref, g_own_ref,
-                       g_same_ref, g_diff_ref, protos_ref, proto_lab_ref,
-                       de_out):
+def _grad_coeff_kernel(kappa, nv_ref, emb_ref, pix_lab_ref, own_ref,
+                       g_own_ref, g_same_ref, g_diff_ref, protos_ref,
+                       proto_lab_ref, de_out):
     """dE accumulation: dE[n] += sum_k c[n,k] * P[k],
     c = kappa * sims * (g_own * own_mask + g_same * same + g_diff * diff).
     """
@@ -118,66 +169,72 @@ def _grad_coeff_kernel(kappa, emb_ref, pix_lab_ref, own_ref, g_own_ref,
     def _():
         de_out[...] = jnp.zeros_like(de_out)
 
-    logits = jax.lax.dot_general(
-        emb_ref[...], protos_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sims = jnp.exp(logits * kappa)
+    @pl.when(j * BLOCK_P < nv_ref[0])
+    def _():
+        logits = jax.lax.dot_general(
+            emb_ref[...], protos_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sims = jnp.exp(logits * kappa)
 
-    pix_lab = pix_lab_ref[0, :]
-    proto_lab = proto_lab_ref[0, :]
-    valid = (proto_lab >= 0)[None, :]
-    same = (pix_lab[:, None] == proto_lab[None, :]) & valid
-    diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + j * BLOCK_P
-    own_mask = col == own_ref[0, :][:, None]
+        pix_lab = pix_lab_ref[0, :]
+        proto_lab = proto_lab_ref[0, :]
+        valid = (proto_lab >= 0)[None, :]
+        same = (pix_lab[:, None] == proto_lab[None, :]) & valid
+        diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
+        col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) \
+            + j * BLOCK_P
+        own_mask = col == own_ref[0, :][:, None]
 
-    g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
-         + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
-         + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
-    c = kappa * sims * g
-    de_out[...] += jax.lax.dot_general(
-        c, protos_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
+             + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
+             + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
+        c = kappa * sims * g
+        de_out[...] += jax.lax.dot_general(
+            c, protos_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
-def _grad_proto_kernel(kappa, emb_ref, pix_lab_ref, own_ref, g_own_ref,
-                       g_same_ref, g_diff_ref, protos_ref, proto_lab_ref,
-                       dp_out):
+def _grad_proto_kernel(kappa, nv_ref, emb_ref, pix_lab_ref, own_ref,
+                       g_own_ref, g_same_ref, g_diff_ref, protos_ref,
+                       proto_lab_ref, dp_out):
     """dP accumulation: dP[k] += sum_n c[n,k] * E[n] (inner grid over N)."""
     i = pl.program_id(1)
+    j = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         dp_out[...] = jnp.zeros_like(dp_out)
 
-    logits = jax.lax.dot_general(
-        emb_ref[...], protos_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sims = jnp.exp(logits * kappa)
+    @pl.when(j * BLOCK_P < nv_ref[0])
+    def _():
+        logits = jax.lax.dot_general(
+            emb_ref[...], protos_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sims = jnp.exp(logits * kappa)
 
-    pix_lab = pix_lab_ref[0, :]
-    proto_lab = proto_lab_ref[0, :]
-    valid = (proto_lab >= 0)[None, :]
-    same = (pix_lab[:, None] == proto_lab[None, :]) & valid
-    diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
-    j = pl.program_id(0)
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + j * BLOCK_P
-    own_mask = col == own_ref[0, :][:, None]
+        pix_lab = pix_lab_ref[0, :]
+        proto_lab = proto_lab_ref[0, :]
+        valid = (proto_lab >= 0)[None, :]
+        same = (pix_lab[:, None] == proto_lab[None, :]) & valid
+        diff = (pix_lab[:, None] != proto_lab[None, :]) & valid
+        col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) \
+            + j * BLOCK_P
+        own_mask = col == own_ref[0, :][:, None]
 
-    g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
-         + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
-         + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
-    c = kappa * sims * g  # [BLOCK_N, BLOCK_P]
-    dp_out[...] += jax.lax.dot_general(
-        c, emb_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
+             + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
+             + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
+        c = kappa * sims * g  # [BLOCK_N, BLOCK_P]
+        dp_out[...] += jax.lax.dot_general(
+            c, emb_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def segsort_stats(emb, pix_lab, own_idx, protos, proto_lab, kappa,
-                  interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def segsort_stats(emb, pix_lab, own_idx, protos, proto_lab, num_valid,
+                  kappa, interpret=False):
     """(own, same_sum, diff_sum) per pixel, all [N] float32.
 
     Args:
@@ -187,63 +244,73 @@ def segsort_stats(emb, pix_lab, own_idx, protos, proto_lab, kappa,
       protos: [P, D] prototypes (P % 512 == 0 after caller pad).
       proto_lab: [P] int32 prototype labels; NEGATIVE = invalid
         (excluded from same/diff sums).
+      num_valid: [1] int32 — prototypes must be sorted so that every row
+        with proto_lab >= 0 (plus every masked pixel's own row) sits
+        below this count; tiles past it are skipped.
       kappa: python float concentration.
     """
     return _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab,
-                           kappa, interpret)
+                           num_valid, kappa, interpret)
 
 
-def _stats_fwd(emb, pix_lab, own_idx, protos, proto_lab, kappa, interpret):
-    out = _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab, kappa,
-                          interpret)
-    return out, (emb, pix_lab, own_idx, protos, proto_lab)
+def _stats_fwd(emb, pix_lab, own_idx, protos, proto_lab, num_valid, kappa,
+               interpret):
+    out = _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab,
+                          num_valid, kappa, interpret)
+    return out, (emb, pix_lab, own_idx, protos, proto_lab, num_valid)
 
 
 def _stats_bwd(kappa, interpret, residuals, grads):
-    emb, pix_lab, own_idx, protos, proto_lab = residuals
+    emb, pix_lab, own_idx, protos, proto_lab, num_valid = residuals
     g_own, g_same, g_diff = grads
     n, d = emb.shape
     p = protos.shape[0]
 
     de = pl.pallas_call(
         functools.partial(_grad_coeff_kernel, kappa),
-        grid=(n // BLOCK_N, p // BLOCK_P),
-        in_specs=[
-            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // BLOCK_N, p // BLOCK_P),
+            in_specs=[
+                pl.BlockSpec((BLOCK_N, d), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((BLOCK_P, d), lambda i, j, nv: (j, 0)),
+                pl.BlockSpec((1, BLOCK_P), lambda i, j, nv: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j, nv: (i, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         interpret=interpret,
-    )(emb, pix_lab[None], own_idx[None], g_own[None], g_same[None],
-      g_diff[None], protos, proto_lab[None])
+    )(num_valid, emb, pix_lab[None], own_idx[None], g_own[None],
+      g_same[None], g_diff[None], protos, proto_lab[None])
 
     dp = pl.pallas_call(
         functools.partial(_grad_proto_kernel, kappa),
-        grid=(p // BLOCK_P, n // BLOCK_N),
-        in_specs=[
-            pl.BlockSpec((BLOCK_N, d), lambda j, i: (i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
-            pl.BlockSpec((1, BLOCK_P), lambda j, i: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(p // BLOCK_P, n // BLOCK_N),
+            in_specs=[
+                pl.BlockSpec((BLOCK_N, d), lambda j, i, nv: (i, 0)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((BLOCK_P, d), lambda j, i, nv: (j, 0)),
+                pl.BlockSpec((1, BLOCK_P), lambda j, i, nv: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i, nv: (j, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((p, d), jnp.float32),
         interpret=interpret,
-    )(emb, pix_lab[None], own_idx[None], g_own[None], g_same[None],
-      g_diff[None], protos, proto_lab[None])
+    )(num_valid, emb, pix_lab[None], own_idx[None], g_own[None],
+      g_same[None], g_diff[None], protos, proto_lab[None])
 
-    return de, None, None, dp, None
+    return de, None, None, dp, None, None
 
 
 segsort_stats.defvjp(_stats_fwd, _stats_bwd)
@@ -252,45 +319,48 @@ segsort_stats.defvjp(_stats_fwd, _stats_bwd)
 def fused_segsort_loss(embeddings, semantic_labels, own_segment_ids,
                        prototypes, prototype_semantic_labels, concentration,
                        pixel_mask, prototype_mask, interpret=False,
-                       reduction="mean"):
+                       reduction="mean", compact=True):
     """Drop-in replacement for spml_tpu.ops.losses.segsort_loss backed by
     the fused kernel. Pads N to 256 and P to 512 internally; padded
     pixels/prototypes are masked out exactly (invalid label -1).
+    compact=True sorts prototypes valid-first so the kernel can skip
+    fully-invalid tiles (exact; see module docstring).
     reduction="none" returns the per-pixel [N] log-likelihoods."""
     n0 = embeddings.shape[0]
+    p0 = prototypes.shape[0]
+    protos = prototypes.astype(jnp.float32)
+    plab = jnp.where(prototype_mask,
+                     prototype_semantic_labels.astype(jnp.int32), -1)
+    own = own_segment_ids.astype(jnp.int32)
+
+    if compact:
+        touch = (plab >= 0) | _own_flag(own, pixel_mask, p0)
+        (protos, plab), own, num_valid = _compact_prototypes(
+            touch, [protos, plab], own)
+    else:
+        num_valid = jnp.full((1,), p0, jnp.int32)
+
     emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
     pix_lab = _pad_to(semantic_labels.astype(jnp.int32), BLOCK_N, 0,
                       value=-1)
-    own = _pad_to(own_segment_ids.astype(jnp.int32), BLOCK_N, 0, value=0)
-    protos = _pad_to(prototypes.astype(jnp.float32), BLOCK_P, 0)
-    plab = jnp.where(prototype_mask,
-                     prototype_semantic_labels.astype(jnp.int32), -1)
+    own = _pad_to(own, BLOCK_N, 0, value=0)
+    protos = _pad_to(protos, BLOCK_P, 0)
     plab = _pad_to(plab, BLOCK_P, 0, value=-1)
 
     own_s, same_s, diff_s = segsort_stats(emb, pix_lab, own, protos, plab,
-                                          float(concentration), interpret)
+                                          num_valid, float(concentration),
+                                          interpret)
     own_s, same_s, diff_s = own_s[:n0], same_s[:n0], diff_s[:n0]
-
-    same_minus = same_s - own_s
-    numerator = jnp.where(same_minus > 0, same_minus, own_s)
-    # diff_sum excludes same-class prototypes by construction, so
-    # denominator = diff_s + numerator exactly as the reference
-    # (loss.py:74-78).
-    denominator = diff_s + numerator
-    ll = -jnp.log(numerator / denominator)
-    if reduction == "none":
-        return ll
-    m = pixel_mask.astype(jnp.float32)
-    return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return _ll_from_stats(own_s, same_s, diff_s, pixel_mask, reduction)
 
 
 # ---------------------------------------------------------------------------
 # Set (multi-hot tag) variant — SetSegSortLoss (reference loss.py:85-130)
 # ---------------------------------------------------------------------------
 
-def _set_stats_kernel(kappa, emb_ref, pix_tag_ref, own_ref, protos_ref,
-                      proto_tag_ref, proto_valid_ref, own_out, same_out,
-                      diff_out):
+def _set_stats_kernel(kappa, nv_ref, emb_ref, pix_tag_ref, own_ref,
+                      protos_ref, proto_tag_ref, proto_valid_ref, own_out,
+                      same_out, diff_out):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -299,30 +369,33 @@ def _set_stats_kernel(kappa, emb_ref, pix_tag_ref, own_ref, protos_ref,
         same_out[...] = jnp.zeros_like(same_out)
         diff_out[...] = jnp.zeros_like(diff_out)
 
-    logits = jax.lax.dot_general(
-        emb_ref[...], protos_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sims = jnp.exp(logits * kappa)
+    @pl.when(j * BLOCK_P < nv_ref[0])
+    def _():
+        logits = jax.lax.dot_general(
+            emb_ref[...], protos_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sims = jnp.exp(logits * kappa)
 
-    affinity = jax.lax.dot_general(
-        pix_tag_ref[...], proto_tag_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    valid = proto_valid_ref[0, :][None, :] > 0
-    same = (affinity > 0) & valid
-    diff = (affinity == 0) & valid
+        affinity = jax.lax.dot_general(
+            pix_tag_ref[...], proto_tag_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        valid = proto_valid_ref[0, :][None, :] > 0
+        same = (affinity > 0) & valid
+        diff = (affinity == 0) & valid
 
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + j * BLOCK_P
-    own_mask = col == own_ref[0, :][:, None]
+        col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) \
+            + j * BLOCK_P
+        own_mask = col == own_ref[0, :][:, None]
 
-    own_out[0, :] += jnp.sum(jnp.where(own_mask, sims, 0.0), axis=1)
-    same_out[0, :] += jnp.sum(jnp.where(same, sims, 0.0), axis=1)
-    diff_out[0, :] += jnp.sum(jnp.where(diff, sims, 0.0), axis=1)
+        own_out[0, :] += jnp.sum(jnp.where(own_mask, sims, 0.0), axis=1)
+        same_out[0, :] += jnp.sum(jnp.where(same, sims, 0.0), axis=1)
+        diff_out[0, :] += jnp.sum(jnp.where(diff, sims, 0.0), axis=1)
 
 
-def _set_grad_kernel(kappa, transpose, emb_ref, pix_tag_ref, own_ref,
-                     g_own_ref, g_same_ref, g_diff_ref, protos_ref,
+def _set_grad_kernel(kappa, transpose, nv_ref, emb_ref, pix_tag_ref,
+                     own_ref, g_own_ref, g_same_ref, g_diff_ref, protos_ref,
                      proto_tag_ref, proto_valid_ref, out_ref):
     inner = pl.program_id(1)
 
@@ -330,139 +403,158 @@ def _set_grad_kernel(kappa, transpose, emb_ref, pix_tag_ref, own_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    logits = jax.lax.dot_general(
-        emb_ref[...], protos_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sims = jnp.exp(logits * kappa)
-
-    affinity = jax.lax.dot_general(
-        pix_tag_ref[...], proto_tag_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    valid = proto_valid_ref[0, :][None, :] > 0
-    same = (affinity > 0) & valid
-    diff = (affinity == 0) & valid
-
     if transpose:
         j = pl.program_id(0)
     else:
         j = inner
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + j * BLOCK_P
-    own_mask = col == own_ref[0, :][:, None]
 
-    g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
-         + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
-         + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
-    c = kappa * sims * g
-    if transpose:
-        out_ref[...] += jax.lax.dot_general(
-            c, emb_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+    @pl.when(j * BLOCK_P < nv_ref[0])
+    def _():
+        logits = jax.lax.dot_general(
+            emb_ref[...], protos_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-    else:
-        out_ref[...] += jax.lax.dot_general(
-            c, protos_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        sims = jnp.exp(logits * kappa)
+
+        affinity = jax.lax.dot_general(
+            pix_tag_ref[...], proto_tag_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        valid = proto_valid_ref[0, :][None, :] > 0
+        same = (affinity > 0) & valid
+        diff = (affinity == 0) & valid
+
+        col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) \
+            + j * BLOCK_P
+        own_mask = col == own_ref[0, :][:, None]
+
+        g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
+             + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
+             + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
+        c = kappa * sims * g
+        if transpose:
+            out_ref[...] += jax.lax.dot_general(
+                c, emb_ref[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            out_ref[...] += jax.lax.dot_general(
+                c, protos_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 def _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
-                        proto_valid, kappa, interpret):
+                        proto_valid, num_valid, kappa, interpret):
     n, d = emb.shape
     p = protos.shape[0]
+    t = pix_tags.shape[1]
     kernel = functools.partial(_set_stats_kernel, kappa)
     own, same, diff = pl.pallas_call(
         kernel,
-        grid=(n // BLOCK_N, p // BLOCK_P),
-        in_specs=[
-            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((BLOCK_N, pix_tags.shape[1]),
-                         lambda i, j: (i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((BLOCK_P, proto_tags.shape[1]),
-                         lambda i, j: (j, 0)),
-            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // BLOCK_N, p // BLOCK_P),
+            in_specs=[
+                pl.BlockSpec((BLOCK_N, d), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((BLOCK_N, t), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((BLOCK_P, d), lambda i, j, nv: (j, 0)),
+                pl.BlockSpec((BLOCK_P, proto_tags.shape[1]),
+                             lambda i, j, nv: (j, 0)),
+                pl.BlockSpec((1, BLOCK_P), lambda i, j, nv: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+            ],
+        ),
         out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 3,
         interpret=interpret,
-    )(emb, pix_tags, own_idx[None], protos, proto_tags, proto_valid[None])
+    )(num_valid, emb, pix_tags, own_idx[None], protos, proto_tags,
+      proto_valid[None])
     return own[0], same[0], diff[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def set_segsort_stats(emb, pix_tags, own_idx, protos, proto_tags,
-                      proto_valid, kappa, interpret=False):
+                      proto_valid, num_valid, kappa, interpret=False):
     """(own, same_sum, diff_sum) with multi-hot tag membership.
 
     pix_tags [N, T] / proto_tags [P, T] float32; same-class means the tag
-    sets intersect; proto_valid [P] int32 gates both sums.
+    sets intersect; proto_valid [P] int32 gates both sums. num_valid [1]
+    as in segsort_stats (sorted valid-first, tiles past it skipped).
     """
     return _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
-                               proto_valid, kappa, interpret)
+                               proto_valid, num_valid, kappa, interpret)
 
 
 def _set_stats_fwd(emb, pix_tags, own_idx, protos, proto_tags, proto_valid,
-                   kappa, interpret):
+                   num_valid, kappa, interpret):
     out = _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
-                              proto_valid, kappa, interpret)
-    return out, (emb, pix_tags, own_idx, protos, proto_tags, proto_valid)
+                              proto_valid, num_valid, kappa, interpret)
+    return out, (emb, pix_tags, own_idx, protos, proto_tags, proto_valid,
+                 num_valid)
 
 
 def _set_stats_bwd(kappa, interpret, residuals, grads):
-    emb, pix_tags, own_idx, protos, proto_tags, proto_valid = residuals
+    (emb, pix_tags, own_idx, protos, proto_tags, proto_valid,
+     num_valid) = residuals
     g_own, g_same, g_diff = grads
     n, d = emb.shape
     p = protos.shape[0]
     t = pix_tags.shape[1]
 
     common_in = [
-        emb, pix_tags, own_idx[None], g_own[None], g_same[None],
+        num_valid, emb, pix_tags, own_idx[None], g_own[None], g_same[None],
         g_diff[None], protos, proto_tags, proto_valid[None]]
 
     de = pl.pallas_call(
         functools.partial(_set_grad_kernel, kappa, False),
-        grid=(n // BLOCK_N, p // BLOCK_P),
-        in_specs=[
-            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((BLOCK_N, t), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((BLOCK_P, t), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // BLOCK_N, p // BLOCK_P),
+            in_specs=[
+                pl.BlockSpec((BLOCK_N, d), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((BLOCK_N, t), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((BLOCK_P, d), lambda i, j, nv: (j, 0)),
+                pl.BlockSpec((BLOCK_P, t), lambda i, j, nv: (j, 0)),
+                pl.BlockSpec((1, BLOCK_P), lambda i, j, nv: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j, nv: (i, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         interpret=interpret,
     )(*common_in)
 
     dp = pl.pallas_call(
         functools.partial(_set_grad_kernel, kappa, True),
-        grid=(p // BLOCK_P, n // BLOCK_N),
-        in_specs=[
-            pl.BlockSpec((BLOCK_N, d), lambda j, i: (i, 0)),
-            pl.BlockSpec((BLOCK_N, t), lambda j, i: (i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda j, i: (0, i)),
-            pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
-            pl.BlockSpec((BLOCK_P, t), lambda j, i: (j, 0)),
-            pl.BlockSpec((1, BLOCK_P), lambda j, i: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(p // BLOCK_P, n // BLOCK_N),
+            in_specs=[
+                pl.BlockSpec((BLOCK_N, d), lambda j, i, nv: (i, 0)),
+                pl.BlockSpec((BLOCK_N, t), lambda j, i, nv: (i, 0)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda j, i, nv: (0, i)),
+                pl.BlockSpec((BLOCK_P, d), lambda j, i, nv: (j, 0)),
+                pl.BlockSpec((BLOCK_P, t), lambda j, i, nv: (j, 0)),
+                pl.BlockSpec((1, BLOCK_P), lambda j, i, nv: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i, nv: (j, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((p, d), jnp.float32),
         interpret=interpret,
     )(*common_in)
 
-    return de, None, None, dp, None, None
+    return de, None, None, dp, None, None, None
 
 
 set_segsort_stats.defvjp(_set_stats_fwd, _set_stats_bwd)
@@ -471,33 +563,37 @@ set_segsort_stats.defvjp(_set_stats_fwd, _set_stats_bwd)
 def fused_set_segsort_loss(embeddings, semantic_tags, own_segment_ids,
                            prototypes, prototype_semantic_tags,
                            concentration, pixel_mask, prototype_mask,
-                           interpret=False, reduction="mean"):
+                           interpret=False, reduction="mean", compact=True):
     """Drop-in replacement for spml_tpu.ops.losses.set_segsort_loss.
     reduction="none" returns the per-pixel [N] log-likelihoods."""
     n0 = embeddings.shape[0]
+    p0 = prototypes.shape[0]
+    protos = prototypes.astype(jnp.float32)
+    qtags = _pad_to(prototype_semantic_tags.astype(jnp.float32), 128, 1)
+    pvalid = prototype_mask.astype(jnp.int32)
+    own = own_segment_ids.astype(jnp.int32)
+
+    if compact:
+        touch = (pvalid > 0) | _own_flag(own, pixel_mask, p0)
+        (protos, qtags, pvalid), own, num_valid = _compact_prototypes(
+            touch, [protos, qtags, pvalid], own)
+    else:
+        num_valid = jnp.full((1,), p0, jnp.int32)
+
     emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
     # zero-pad the tag width to a lane-friendly 128 (doesn't change dots)
     ptags = _pad_to(_pad_to(semantic_tags.astype(jnp.float32), 128, 1),
                     BLOCK_N, 0)
-    own = _pad_to(own_segment_ids.astype(jnp.int32), BLOCK_N, 0)
-    protos = _pad_to(prototypes.astype(jnp.float32), BLOCK_P, 0)
-    qtags = _pad_to(_pad_to(prototype_semantic_tags.astype(jnp.float32),
-                            128, 1), BLOCK_P, 0)
-    pvalid = _pad_to(prototype_mask.astype(jnp.int32), BLOCK_P, 0)
+    own = _pad_to(own, BLOCK_N, 0)
+    protos = _pad_to(protos, BLOCK_P, 0)
+    qtags = _pad_to(qtags, BLOCK_P, 0)
+    pvalid = _pad_to(pvalid, BLOCK_P, 0)
 
     own_s, same_s, diff_s = set_segsort_stats(
-        emb, ptags, own, protos, qtags, pvalid, float(concentration),
-        interpret)
+        emb, ptags, own, protos, qtags, pvalid, num_valid,
+        float(concentration), interpret)
     own_s, same_s, diff_s = own_s[:n0], same_s[:n0], diff_s[:n0]
-
-    same_minus = same_s - own_s
-    numerator = jnp.where(same_minus > 0, same_minus, own_s)
-    denominator = diff_s + numerator
-    ll = -jnp.log(numerator / denominator)
-    if reduction == "none":
-        return ll
-    m = pixel_mask.astype(jnp.float32)
-    return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return _ll_from_stats(own_s, same_s, diff_s, pixel_mask, reduction)
 
 
 # ---------------------------------------------------------------------------
@@ -506,8 +602,8 @@ def fused_set_segsort_loss(embeddings, semantic_tags, own_segment_ids,
 # the same embeddings/prototypes in the SPML step.
 # ---------------------------------------------------------------------------
 
-def _joint_stats_kernel(kappa_a, kappa_o, emb_ref, pix_lab_ref, own_ref,
-                        pix_tag_ref, protos_ref, proto_lab_ref,
+def _joint_stats_kernel(kappa_a, kappa_o, nv_ref, emb_ref, pix_lab_ref,
+                        own_ref, pix_tag_ref, protos_ref, proto_lab_ref,
                         proto_tag_ref, proto_valid_ref,
                         own_a_out, same_a_out, diff_a_out,
                         own_o_out, same_o_out, diff_o_out):
@@ -519,44 +615,47 @@ def _joint_stats_kernel(kappa_a, kappa_o, emb_ref, pix_lab_ref, own_ref,
                     own_o_out, same_o_out, diff_o_out):
             ref[...] = jnp.zeros_like(ref)
 
-    logits = jax.lax.dot_general(
-        emb_ref[...], protos_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sims_a = jnp.exp(logits * kappa_a)
-    # kappa ratio 2 (the flagship scribble config: 6/12): one exp + a
-    # square instead of two exps — exact to 1 ulp, and the exps are the
-    # kernel's dominant VPU cost
-    if kappa_o == 2.0 * kappa_a:
-        sims_o = sims_a * sims_a
-    else:
-        sims_o = jnp.exp(logits * kappa_o)
+    @pl.when(j * BLOCK_P < nv_ref[0])
+    def _():
+        logits = jax.lax.dot_general(
+            emb_ref[...], protos_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sims_a = jnp.exp(logits * kappa_a)
+        # kappa ratio 2 (the flagship scribble config: 6/12): one exp + a
+        # square instead of two exps — exact to 1 ulp, and the exps are
+        # the kernel's dominant VPU cost
+        if kappa_o == 2.0 * kappa_a:
+            sims_o = sims_a * sims_a
+        else:
+            sims_o = jnp.exp(logits * kappa_o)
 
-    pix_lab = pix_lab_ref[0, :]
-    proto_lab = proto_lab_ref[0, :]
-    lab_valid = (proto_lab >= 0)[None, :]
-    same_a = (pix_lab[:, None] == proto_lab[None, :]) & lab_valid
-    diff_a = (pix_lab[:, None] != proto_lab[None, :]) & lab_valid
+        pix_lab = pix_lab_ref[0, :]
+        proto_lab = proto_lab_ref[0, :]
+        lab_valid = (proto_lab >= 0)[None, :]
+        same_a = (pix_lab[:, None] == proto_lab[None, :]) & lab_valid
+        diff_a = (pix_lab[:, None] != proto_lab[None, :]) & lab_valid
 
-    # tag sets packed as int32 bitwords: intersection == bitwise AND
-    inter = pix_tag_ref[0, :][:, None] & proto_tag_ref[0, :][None, :]
-    tag_valid = proto_valid_ref[0, :][None, :] > 0
-    same_o = (inter != 0) & tag_valid
-    diff_o = (inter == 0) & tag_valid
+        # tag sets packed as int32 bitwords: intersection == bitwise AND
+        inter = pix_tag_ref[0, :][:, None] & proto_tag_ref[0, :][None, :]
+        tag_valid = proto_valid_ref[0, :][None, :] > 0
+        same_o = (inter != 0) & tag_valid
+        diff_o = (inter == 0) & tag_valid
 
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * BLOCK_P
-    own_mask = col == own_ref[0, :][:, None]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) \
+            + j * BLOCK_P
+        own_mask = col == own_ref[0, :][:, None]
 
-    own_a_out[0, :] += jnp.sum(jnp.where(own_mask, sims_a, 0.0), axis=1)
-    same_a_out[0, :] += jnp.sum(jnp.where(same_a, sims_a, 0.0), axis=1)
-    diff_a_out[0, :] += jnp.sum(jnp.where(diff_a, sims_a, 0.0), axis=1)
-    own_o_out[0, :] += jnp.sum(jnp.where(own_mask, sims_o, 0.0), axis=1)
-    same_o_out[0, :] += jnp.sum(jnp.where(same_o, sims_o, 0.0), axis=1)
-    diff_o_out[0, :] += jnp.sum(jnp.where(diff_o, sims_o, 0.0), axis=1)
+        own_a_out[0, :] += jnp.sum(jnp.where(own_mask, sims_a, 0.0), axis=1)
+        same_a_out[0, :] += jnp.sum(jnp.where(same_a, sims_a, 0.0), axis=1)
+        diff_a_out[0, :] += jnp.sum(jnp.where(diff_a, sims_a, 0.0), axis=1)
+        own_o_out[0, :] += jnp.sum(jnp.where(own_mask, sims_o, 0.0), axis=1)
+        same_o_out[0, :] += jnp.sum(jnp.where(same_o, sims_o, 0.0), axis=1)
+        diff_o_out[0, :] += jnp.sum(jnp.where(diff_o, sims_o, 0.0), axis=1)
 
 
-def _joint_grad_kernel(kappa_a, kappa_o, transpose, emb_ref, pix_lab_ref,
-                       own_ref, pix_tag_ref,
+def _joint_grad_kernel(kappa_a, kappa_o, transpose, nv_ref, emb_ref,
+                       pix_lab_ref, own_ref, pix_tag_ref,
                        ga_own_ref, ga_same_ref, ga_diff_ref,
                        go_own_ref, go_same_ref, go_diff_ref,
                        protos_ref, proto_lab_ref, proto_tag_ref,
@@ -567,63 +666,68 @@ def _joint_grad_kernel(kappa_a, kappa_o, transpose, emb_ref, pix_lab_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    logits = jax.lax.dot_general(
-        emb_ref[...], protos_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sims_a = jnp.exp(logits * kappa_a)
-    if kappa_o == 2.0 * kappa_a:  # see _joint_stats_kernel
-        sims_o = sims_a * sims_a
-    else:
-        sims_o = jnp.exp(logits * kappa_o)
-
-    pix_lab = pix_lab_ref[0, :]
-    proto_lab = proto_lab_ref[0, :]
-    lab_valid = (proto_lab >= 0)[None, :]
-    same_a = (pix_lab[:, None] == proto_lab[None, :]) & lab_valid
-    diff_a = (pix_lab[:, None] != proto_lab[None, :]) & lab_valid
-
-    inter = pix_tag_ref[0, :][:, None] & proto_tag_ref[0, :][None, :]
-    tag_valid = proto_valid_ref[0, :][None, :] > 0
-    same_o = (inter != 0) & tag_valid
-    diff_o = (inter == 0) & tag_valid
-
     if transpose:
         j = pl.program_id(0)
     else:
         j = inner
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * BLOCK_P
-    own_mask = col == own_ref[0, :][:, None]
 
-    g_a = (jnp.where(own_mask, ga_own_ref[0, :][:, None], 0.0)
-           + jnp.where(same_a, ga_same_ref[0, :][:, None], 0.0)
-           + jnp.where(diff_a, ga_diff_ref[0, :][:, None], 0.0))
-    g_o = (jnp.where(own_mask, go_own_ref[0, :][:, None], 0.0)
-           + jnp.where(same_o, go_same_ref[0, :][:, None], 0.0)
-           + jnp.where(diff_o, go_diff_ref[0, :][:, None], 0.0))
-    c = kappa_a * sims_a * g_a + kappa_o * sims_o * g_o
-    if transpose:
-        out_ref[...] += jax.lax.dot_general(
-            c, emb_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+    @pl.when(j * BLOCK_P < nv_ref[0])
+    def _():
+        logits = jax.lax.dot_general(
+            emb_ref[...], protos_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-    else:
-        out_ref[...] += jax.lax.dot_general(
-            c, protos_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        sims_a = jnp.exp(logits * kappa_a)
+        if kappa_o == 2.0 * kappa_a:  # see _joint_stats_kernel
+            sims_o = sims_a * sims_a
+        else:
+            sims_o = jnp.exp(logits * kappa_o)
+
+        pix_lab = pix_lab_ref[0, :]
+        proto_lab = proto_lab_ref[0, :]
+        lab_valid = (proto_lab >= 0)[None, :]
+        same_a = (pix_lab[:, None] == proto_lab[None, :]) & lab_valid
+        diff_a = (pix_lab[:, None] != proto_lab[None, :]) & lab_valid
+
+        inter = pix_tag_ref[0, :][:, None] & proto_tag_ref[0, :][None, :]
+        tag_valid = proto_valid_ref[0, :][None, :] > 0
+        same_o = (inter != 0) & tag_valid
+        diff_o = (inter == 0) & tag_valid
+
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) \
+            + j * BLOCK_P
+        own_mask = col == own_ref[0, :][:, None]
+
+        g_a = (jnp.where(own_mask, ga_own_ref[0, :][:, None], 0.0)
+               + jnp.where(same_a, ga_same_ref[0, :][:, None], 0.0)
+               + jnp.where(diff_a, ga_diff_ref[0, :][:, None], 0.0))
+        g_o = (jnp.where(own_mask, go_own_ref[0, :][:, None], 0.0)
+               + jnp.where(same_o, go_same_ref[0, :][:, None], 0.0)
+               + jnp.where(diff_o, go_diff_ref[0, :][:, None], 0.0))
+        c = kappa_a * sims_a * g_a + kappa_o * sims_o * g_o
+        if transpose:
+            out_ref[...] += jax.lax.dot_general(
+                c, emb_ref[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            out_ref[...] += jax.lax.dot_general(
+                c, protos_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
-def _joint_in_specs(d, t, transpose):
+def _joint_in_specs(d, transpose):
     if transpose:
-        def row(i_, j_): return (j_, 0)  # noqa: E704
-        def vec(i_, j_): return (0, j_)  # noqa: E704
-        def prow(i_, j_): return (i_, 0)  # noqa: E704
-        def pvec(i_, j_): return (0, i_)  # noqa: E704
+        def row(i_, j_, nv_): return (j_, 0)  # noqa: E704
+        def vec(i_, j_, nv_): return (0, j_)  # noqa: E704
+        def prow(i_, j_, nv_): return (i_, 0)  # noqa: E704
+        def pvec(i_, j_, nv_): return (0, i_)  # noqa: E704
     else:
-        def row(i_, j_): return (i_, 0)  # noqa: E704
-        def vec(i_, j_): return (0, i_)  # noqa: E704
-        def prow(i_, j_): return (j_, 0)  # noqa: E704
-        def pvec(i_, j_): return (0, j_)  # noqa: E704
-    del t
+        def row(i_, j_, nv_): return (i_, 0)  # noqa: E704
+        def vec(i_, j_, nv_): return (0, i_)  # noqa: E704
+        def prow(i_, j_, nv_): return (j_, 0)  # noqa: E704
+        def pvec(i_, j_, nv_): return (0, j_)  # noqa: E704
     return [
         pl.BlockSpec((BLOCK_N, d), row),
         pl.BlockSpec((1, BLOCK_N), vec),
@@ -643,33 +747,38 @@ def _joint_in_specs(d, t, transpose):
 
 
 def _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
-                    proto_tags, proto_valid, kappa_a, kappa_o, interpret):
+                    proto_tags, proto_valid, num_valid, kappa_a, kappa_o,
+                    interpret):
     n, d = emb.shape
     p = protos.shape[0]
     outs = pl.pallas_call(
         functools.partial(_joint_stats_kernel, kappa_a, kappa_o),
-        grid=(n // BLOCK_N, p // BLOCK_P),
-        in_specs=[
-            pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i)),
-            pl.BlockSpec((BLOCK_P, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
-            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
-            pl.BlockSpec((1, BLOCK_P), lambda i, j: (0, j)),
-        ],
-        out_specs=[pl.BlockSpec((1, BLOCK_N), lambda i, j: (0, i))] * 6,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // BLOCK_N, p // BLOCK_P),
+            in_specs=[
+                pl.BlockSpec((BLOCK_N, d), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((1, BLOCK_N), lambda i, j, nv: (0, i)),
+                pl.BlockSpec((BLOCK_P, d), lambda i, j, nv: (j, 0)),
+                pl.BlockSpec((1, BLOCK_P), lambda i, j, nv: (0, j)),
+                pl.BlockSpec((1, BLOCK_P), lambda i, j, nv: (0, j)),
+                pl.BlockSpec((1, BLOCK_P), lambda i, j, nv: (0, j)),
+            ],
+            out_specs=[pl.BlockSpec((1, BLOCK_N),
+                                    lambda i, j, nv: (0, i))] * 6,
+        ),
         out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 6,
         interpret=interpret,
-    )(emb, pix_lab[None], own_idx[None], pix_tags[None], protos,
+    )(num_valid, emb, pix_lab[None], own_idx[None], pix_tags[None], protos,
       proto_lab[None], proto_tags[None], proto_valid[None])
     return tuple(o[0] for o in outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def joint_segsort_stats(emb, pix_lab, own_idx, pix_tags, protos,
-                        proto_lab, proto_tags, proto_valid,
+                        proto_lab, proto_tags, proto_valid, num_valid,
                         kappa_a, kappa_o, interpret=False):
     """Six stats in one sweep: (own_a, same_a, diff_a) for the hard-label
     loss at kappa_a and (own_o, same_o, diff_o) for the tag loss at
@@ -677,53 +786,61 @@ def joint_segsort_stats(emb, pix_lab, own_idx, pix_tags, protos,
 
     pix_tags / proto_tags are [N] / [P] int32 BITWORDS (bit c set = class
     c in the tag set; <= 32 classes), so tag intersection is a bitwise
-    AND instead of a lane-padded matmul."""
+    AND instead of a lane-padded matmul. num_valid [1] as in
+    segsort_stats (prototypes sorted valid-first; tiles past it skipped).
+    """
     return _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos,
-                           proto_lab, proto_tags, proto_valid, kappa_a,
-                           kappa_o, interpret)
+                           proto_lab, proto_tags, proto_valid, num_valid,
+                           kappa_a, kappa_o, interpret)
 
 
 def _joint_fwd(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
-               proto_tags, proto_valid, kappa_a, kappa_o, interpret):
+               proto_tags, proto_valid, num_valid, kappa_a, kappa_o,
+               interpret):
     out = _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos,
-                          proto_lab, proto_tags, proto_valid, kappa_a,
-                          kappa_o, interpret)
+                          proto_lab, proto_tags, proto_valid, num_valid,
+                          kappa_a, kappa_o, interpret)
     return out, (emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
-                 proto_tags, proto_valid)
+                 proto_tags, proto_valid, num_valid)
 
 
 def _joint_bwd(kappa_a, kappa_o, interpret, residuals, grads):
     (emb, pix_lab, own_idx, pix_tags, protos, proto_lab, proto_tags,
-     proto_valid) = residuals
+     proto_valid, num_valid) = residuals
     ga_own, ga_same, ga_diff, go_own, go_same, go_diff = grads
     n, d = emb.shape
     p = protos.shape[0]
-    t = 0  # tags are bitwords now
 
-    ins = [emb, pix_lab[None], own_idx[None], pix_tags[None],
+    ins = [num_valid, emb, pix_lab[None], own_idx[None], pix_tags[None],
            ga_own[None], ga_same[None], ga_diff[None],
            go_own[None], go_same[None], go_diff[None],
            protos, proto_lab[None], proto_tags[None], proto_valid[None]]
 
     de = pl.pallas_call(
         functools.partial(_joint_grad_kernel, kappa_a, kappa_o, False),
-        grid=(n // BLOCK_N, p // BLOCK_P),
-        in_specs=_joint_in_specs(d, t, False),
-        out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j: (i, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // BLOCK_N, p // BLOCK_P),
+            in_specs=_joint_in_specs(d, False),
+            out_specs=pl.BlockSpec((BLOCK_N, d), lambda i, j, nv: (i, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         interpret=interpret,
     )(*ins)
 
     dp = pl.pallas_call(
         functools.partial(_joint_grad_kernel, kappa_a, kappa_o, True),
-        grid=(p // BLOCK_P, n // BLOCK_N),
-        in_specs=_joint_in_specs(d, t, True),
-        out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i: (j, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(p // BLOCK_P, n // BLOCK_N),
+            in_specs=_joint_in_specs(d, True),
+            out_specs=pl.BlockSpec((BLOCK_P, d), lambda j, i, nv: (j, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((p, d), jnp.float32),
         interpret=interpret,
     )(*ins)
 
-    return de, None, None, None, dp, None, None, None
+    return de, None, None, None, dp, None, None, None, None
 
 
 joint_segsort_stats.defvjp(_joint_fwd, _joint_bwd)
@@ -732,6 +849,11 @@ joint_segsort_stats.defvjp(_joint_fwd, _joint_bwd)
 def _ll_from_stats(own_s, same_s, diff_s, pixel_mask, reduction="mean"):
     same_minus = same_s - own_s
     numerator = jnp.where(same_minus > 0, same_minus, own_s)
+    # Pixels outside the mask can have all-zero statistics when their own
+    # prototype sits past the compaction count; the tiny floor keeps
+    # their (discarded) log finite instead of NaN-poisoning masked means.
+    # In-mask pixels have own >= exp(-kappa) >> 1e-30, so it's inert.
+    numerator = jnp.maximum(numerator, 1e-30)
     denominator = diff_s + numerator
     ll = -jnp.log(numerator / denominator)
     if reduction == "none":
@@ -752,7 +874,7 @@ def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
                        semantic_tags, prototypes, prototype_labels,
                        prototype_tags, kappa_ann, kappa_occ,
                        ann_pixel_mask, occ_pixel_mask, prototype_mask,
-                       interpret=False, reduction="mean"):
+                       interpret=False, reduction="mean", compact=True):
     """(sem_ann, sem_occ) masked-mean losses in one fused sweep
     (or per-pixel [N] log-likelihood pairs with reduction="none").
 
@@ -761,19 +883,33 @@ def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
     packed to int32 bitwords inside (<= 32 tag classes).
     """
     n0 = embeddings.shape[0]
+    p0 = prototypes.shape[0]
+    protos = prototypes.astype(jnp.float32)
+    plab = prototype_labels.astype(jnp.int32)
+    qtags = _pack_tag_bits(prototype_tags)
+    pvalid = prototype_mask.astype(jnp.int32)
+    own = own_segment_ids.astype(jnp.int32)
+
+    if compact:
+        touch = ((plab >= 0) | (pvalid > 0)
+                 | _own_flag(own, ann_pixel_mask | occ_pixel_mask, p0))
+        (protos, plab, qtags, pvalid), own, num_valid = \
+            _compact_prototypes(touch, [protos, plab, qtags, pvalid], own)
+    else:
+        num_valid = jnp.full((1,), p0, jnp.int32)
+
     emb = _pad_to(embeddings.astype(jnp.float32), BLOCK_N, 0)
     lab = _pad_to(semantic_labels.astype(jnp.int32), BLOCK_N, 0, value=-1)
-    own = _pad_to(own_segment_ids.astype(jnp.int32), BLOCK_N, 0)
+    own = _pad_to(own, BLOCK_N, 0)
     ptags = _pad_to(_pack_tag_bits(semantic_tags), BLOCK_N, 0)
-    protos = _pad_to(prototypes.astype(jnp.float32), BLOCK_P, 0)
-    plab = _pad_to(prototype_labels.astype(jnp.int32), BLOCK_P, 0,
-                   value=-1)
-    qtags = _pad_to(_pack_tag_bits(prototype_tags), BLOCK_P, 0)
-    pvalid = _pad_to(prototype_mask.astype(jnp.int32), BLOCK_P, 0)
+    protos = _pad_to(protos, BLOCK_P, 0)
+    plab = _pad_to(plab, BLOCK_P, 0, value=-1)
+    qtags = _pad_to(qtags, BLOCK_P, 0)
+    pvalid = _pad_to(pvalid, BLOCK_P, 0)
 
     stats = joint_segsort_stats(emb, lab, own, ptags, protos, plab, qtags,
-                                pvalid, float(kappa_ann), float(kappa_occ),
-                                interpret)
+                                pvalid, num_valid, float(kappa_ann),
+                                float(kappa_occ), interpret)
     own_a, same_a, diff_a, own_o, same_o, diff_o = [s[:n0] for s in stats]
     ann = _ll_from_stats(own_a, same_a, diff_a, ann_pixel_mask, reduction)
     occ = _ll_from_stats(own_o, same_o, diff_o, occ_pixel_mask, reduction)

@@ -170,6 +170,88 @@ def test_fused_set_matches_dense():
                                    rtol=1e-4, atol=1e-7)
 
 
+def test_compaction_exactness_low_fill():
+    """Valid-prototype compaction (sort + tile skip) is exact: values and
+    gradients identical with compact on/off and vs the dense oracle, at a
+    low fill fraction with scattered validity and pixels whose own
+    prototype is invalid."""
+    rng = np.random.RandomState(7)
+    n, p, d, c, t = 512, 64, 16, 5, 20
+    emb = jnp.asarray(oracles.normalize(rng.randn(n, d)).astype(np.float32))
+    protos = jnp.asarray(
+        oracles.normalize(rng.randn(p, d)).astype(np.float32))
+    proto_sem = jnp.asarray(rng.randint(0, c + 2, p).astype(np.int32))
+    own = jnp.asarray(rng.randint(0, p, n).astype(np.int32))
+    sem = jnp.take(proto_sem, own)
+    proto_tags = jnp.asarray((rng.rand(p, t) > 0.5).astype(np.int32))
+    tags = jnp.take(proto_tags, own, axis=0)
+    pvalid = jnp.asarray(rng.rand(p) < 0.2)  # ~20% fill, scattered
+    ann_mask = (sem < c)                     # includes invalid-own pixels
+    occ_mask = jnp.ones(n, bool)
+    ann_plab = jnp.where(pvalid & (proto_sem < c), proto_sem, -1)
+
+    def joint_fn(e, p_, compact):
+        ann, occ = fused.fused_joint_losses(
+            e, sem, own, tags, p_, ann_plab, proto_tags, 6.0, 12.0,
+            ann_mask, occ_mask, pvalid, interpret=True, compact=compact)
+        return ann + 0.5 * occ
+
+    v_on, g_on = jax.value_and_grad(
+        lambda e, p_: joint_fn(e, p_, True), argnums=(0, 1))(emb, protos)
+    v_off, g_off = jax.value_and_grad(
+        lambda e, p_: joint_fn(e, p_, False), argnums=(0, 1))(emb, protos)
+    np.testing.assert_allclose(float(v_on), float(v_off), rtol=1e-6)
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+    # dense oracle for the ann component alone
+    dense_ann = losses.segsort_loss(emb, sem, own, protos, proto_sem, 6.0,
+                                    ann_mask, pvalid & (proto_sem < 5))
+    fused_ann = fused.fused_segsort_loss(
+        emb, sem, own, protos, ann_plab, 6.0, ann_mask, pvalid,
+        interpret=True, compact=True)
+    np.testing.assert_allclose(float(fused_ann), float(dense_ann),
+                               rtol=1e-5)
+
+    # set variant, compact on/off + grads
+    def set_fn(e, p_, compact):
+        return fused.fused_set_segsort_loss(
+            e, tags, own, p_, proto_tags, 8.0, occ_mask, pvalid,
+            interpret=True, compact=compact)
+
+    vs_on, gs_on = jax.value_and_grad(
+        lambda e, p_: set_fn(e, p_, True), argnums=(0, 1))(emb, protos)
+    vs_off, gs_off = jax.value_and_grad(
+        lambda e, p_: set_fn(e, p_, False), argnums=(0, 1))(emb, protos)
+    np.testing.assert_allclose(float(vs_on), float(vs_off), rtol=1e-6)
+    for a, b in zip(gs_on, gs_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_compaction_all_invalid_is_finite():
+    """num_valid == 0: every tile skipped, statistics all-zero; the loss
+    must come out finite (0 via the masked mean), not NaN."""
+    rng = np.random.RandomState(8)
+    n, p, d = 256, 32, 8
+    emb = jnp.asarray(oracles.normalize(rng.randn(n, d)).astype(np.float32))
+    protos = jnp.asarray(
+        oracles.normalize(rng.randn(p, d)).astype(np.float32))
+    own = jnp.asarray(rng.randint(0, p, n).astype(np.int32))
+    sem = jnp.zeros(n, jnp.int32)
+    plab = jnp.full(p, -1, jnp.int32)
+    pvalid = jnp.zeros(p, bool)
+    pmask = jnp.zeros(n, bool)
+
+    val, grads = jax.value_and_grad(
+        lambda e: fused.fused_segsort_loss(
+            e, sem, own, protos, plab, 6.0, pmask, pvalid,
+            interpret=True))(emb)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grads)))
+
+
 def test_joint_kernel_matches_separate():
     """The joint (shared-logits) kernel equals the two separate fused
     losses in both values and gradients."""
