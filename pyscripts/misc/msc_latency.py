@@ -52,6 +52,9 @@ def main():
         "tpu": {"compute_dtype": "bfloat16", "segment_capacity": 512},
     })
 
+    from spml_tpu.cli import enable_compilation_cache
+    enable_compilation_cache(cfg)
+
     emb_model, _ = step_lib.build_models(cfg)
     evars = emb_model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)), train=False)
@@ -65,7 +68,8 @@ def main():
 
     t0 = time.time()
     warmed = eng.warmup(max_hw=int(np.ceil(size * max(scales))),
-                        memory=memory, with_probs=True)
+                        memory=memory, with_probs=True,
+                        device_pyramid=True)
     warmup_s = time.time() - t0
     print(f"warmup: {len(warmed)} buckets in {warmup_s:.1f}s", flush=True)
 
@@ -80,11 +84,8 @@ def main():
         for i, (h, w) in enumerate(sizes):
             img = rng.randn(h, w, 3).astype(np.float32)
             t0 = time.time()
-            probs = msc_lib.msc_predict_probs_bucketed(
-                lambda im: eng.predict_topk_probs(im, *memory,
-                                                  bucket_out=True),
-                img, scales=scales, bucket_shape=eng.bucket_shape,
-                is_flip=True)
+            probs = msc_lib.msc_predict_probs_device(
+                eng, img, memory, scales=scales, is_flip=True)
             dt = time.time() - t0
             assert probs.shape == (h, w, 21) and np.isfinite(probs).all()
             times.append(dt)

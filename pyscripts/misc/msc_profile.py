@@ -13,6 +13,7 @@ measured, not guessed.
 Usage: python pyscripts/misc/msc_profile.py
 """
 
+import functools
 import json
 import os
 import sys
@@ -45,6 +46,9 @@ def main():
         "tpu": {"compute_dtype": "bfloat16", "segment_capacity": 512},
     })
 
+    from spml_tpu.cli import enable_compilation_cache
+    enable_compilation_cache(cfg)
+
     emb_model, _ = step_lib.build_models(cfg)
     evars = emb_model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)), train=False)
@@ -56,16 +60,19 @@ def main():
               jnp.asarray(rng.randint(0, 21, (n_mem,)), jnp.int32),
               jnp.ones((n_mem,), bool))
 
-    def timeit(fn, chain_in, iters=8, warmup=2):
-        """fn(carry) -> scalar; chained timing."""
+    def timeit(fn, chain_in, *args, iters=8, warmup=2):
+        """fn(carry, *args) -> scalar; chained timing. Big arrays must
+        be passed through *args (closure-captured device arrays get
+        embedded as HLO constants — a 1024^2 map is 256 MB and
+        overflows the compile tunnel's request limit)."""
         carry = chain_in
         for _ in range(warmup):
-            carry = fn(carry)
+            carry = fn(carry, *args)
         float(carry)
         t0 = time.perf_counter()
         carry = chain_in
         for _ in range(iters):
-            carry = fn(carry)
+            carry = fn(carry, *args)
         float(carry)
         return (time.perf_counter() - t0) / iters * 1000
 
@@ -75,12 +82,13 @@ def main():
     patch = jnp.asarray(rng.randn(1, size, size, 3), jnp.float32)
 
     @jax.jit
-    def embed_step(carry):
+    def embed_step(carry, patch):
         emb = eng._embed_patch_impl(patch + carry * 1e-30)
         return jnp.sum(emb[..., 0]) * 1e-20
 
-    results["embed_patch_512_ms"] = round(timeit(embed_step,
-                                                 jnp.zeros(())), 1)
+    results["embed_patch_512_ms"] = round(
+        timeit(embed_step, jnp.zeros(()), patch), 1)
+    print("embed_patch_512_ms", results["embed_patch_512_ms"], flush=True)
 
     # 2) cluster+probs at each bucket
     from spml_tpu.ops import common, kmeans, knn  # noqa: F401
@@ -91,15 +99,17 @@ def main():
         sem = jnp.zeros((hb, hb), jnp.int32)
         inst = jnp.zeros((hb, hb), jnp.int32)
 
-        @jax.jit
-        def probs_step(carry, emb_map=emb_map, sem=sem, inst=inst):
+        @functools.partial(jax.jit, static_argnames=())
+        def probs_step(carry, emb_map, sem, inst):
             probs = eng._cluster_probs_impl(
                 emb_map + carry * 1e-30, sem, inst, *memory,
                 num_classes=21)
             return jnp.sum(probs[..., 0]) * 1e-20
 
         results[f"cluster_probs_{hb}_ms"] = round(
-            timeit(probs_step, jnp.zeros(())), 1)
+            timeit(probs_step, jnp.zeros(()), emb_map, sem, inst), 1)
+        print(f"cluster_probs_{hb}_ms", results[f"cluster_probs_{hb}_ms"],
+              flush=True)
 
         # k-means alone (the clustering inside)
         loc = jnp.broadcast_to(
@@ -107,8 +117,7 @@ def main():
             (1, hb, hb, 2))
 
         @jax.jit
-        def kmeans_step(carry, emb_map=emb_map, sem=sem, inst=inst,
-                        loc=loc):
+        def kmeans_step(carry, emb_map, sem, inst, loc):
             segs, emb_flat, _ = kmeans.segment_batch(
                 emb_map[None] + carry * 1e-30, loc, sem[None], inst[None],
                 (12, 12), 144, 10, 255, label_cap=cfg.tpu.label_cap)
@@ -116,21 +125,24 @@ def main():
                     .astype(jnp.float32) * 1e-20 + carry * 0.0)
 
         results[f"kmeans_{hb}_ms"] = round(
-            timeit(kmeans_step, jnp.zeros(())), 1)
+            timeit(kmeans_step, jnp.zeros(()), emb_map, sem, inst, loc), 1)
+        print(f"kmeans_{hb}_ms", results[f"kmeans_{hb}_ms"], flush=True)
 
         # resize/accumulate (one member into the base bucket)
         probs = jnp.zeros((hb, hb, 21), jnp.float32)
         acc0 = jnp.zeros((512, 512, 21), jnp.float32)
         hw = jnp.asarray([480, 480], jnp.int32)
 
-        def resize_step(carry, probs=probs):
+        def resize_step(carry, probs, acc0):
             acc = msc_lib._resize_accumulate(
                 acc0 + carry * 1e-30, probs, hw, hw,
                 out_bucket=(512, 512), flip=False)
             return jnp.sum(acc[..., 0]) * 1e-20
 
         results[f"resize_acc_{hb}to512_ms"] = round(
-            timeit(jax.jit(resize_step), jnp.zeros(())), 1)
+            timeit(jax.jit(resize_step), jnp.zeros(()), probs, acc0), 1)
+        print(f"resize_acc_{hb}to512_ms",
+              results[f"resize_acc_{hb}to512_ms"], flush=True)
 
     print(json.dumps(results, indent=1))
     with open(os.path.join(ROOT, "MSC_PROFILE.json"), "w") as f:

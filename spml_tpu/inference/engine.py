@@ -67,6 +67,11 @@ class InferenceEngine:
             self._cluster_predict_impl, static_argnames=("num_classes",))
         self._cluster_probs = jax.jit(
             self._cluster_probs_impl, static_argnames=("num_classes",))
+        self._fused_probs = jax.jit(
+            self._fused_probs_impl, static_argnames=("num_classes",))
+        self._fused_member = jax.jit(
+            self._fused_member_impl,
+            static_argnames=("num_classes", "member_bucket"))
         self._majority = jax.jit(
             self._majority_impl,
             static_argnames=("num_segments", "num_bins"))
@@ -103,7 +108,8 @@ class InferenceEngine:
                 self._bucket(w, self.crop[1], self.stride[1]))
 
     def warmup(self, max_hw: int | None = None, num_classes: int | None = None,
-               memory=None, with_probs: bool = False) -> list:
+               memory=None, with_probs: bool = False,
+               device_pyramid: bool = False) -> list:
         """AOT-compile the patch embed + cluster programs for every pad
         bucket reachable for images whose larger side <= max_hw
         (default test.image_size, falling back to crop). `memory` must
@@ -134,25 +140,53 @@ class InferenceEngine:
                 # an image can only reach bucket (ph, pw) if its aspect
                 # fits under max_hw; still warm the full grid — it's
                 # small and warming an unused shape is harmless
-                emb = jnp.zeros((ph, pw, cfg.network.embedding_dim),
-                                jnp.float32)
-                sem = jnp.zeros((ph, pw), jnp.int32)
-                inst = jnp.zeros((ph, pw), jnp.int32)
-                fn = self._cluster_probs if with_probs \
-                    else self._cluster_predict
-                jax.block_until_ready(fn(
-                    emb, sem, inst, mem_p, mem_l, mem_v,
-                    num_classes=num_classes))
-                # the overlap accumulator + its final division also
-                # compile once per bucket — warm them too so the first
-                # real image is steady-state
-                total = jnp.zeros((ph, pw, cfg.network.embedding_dim),
-                                  jnp.float32)
-                counts = jnp.zeros((ph, pw, 1), jnp.float32)
-                e = jnp.zeros(self.crop + (cfg.network.embedding_dim,),
-                              jnp.float32)
-                total, counts = self._accumulate(total, counts, e, 0, 0)
-                jax.block_until_ready(total / counts)
+                if device_pyramid:
+                    # the MSC device-pyramid path: one fused program per
+                    # (base bucket, member bucket); the base bucket set
+                    # is what unscaled inputs (<= test.image_size)
+                    # reach
+                    base_max = cfg.test.image_size or max(self.crop)
+                    bhs = {self._bucket(s, self.crop[0], self.stride[0])
+                           for s in range(1, base_max + 1)}
+                    bws = {self._bucket(s, self.crop[1], self.stride[1])
+                           for s in range(1, base_max + 1)}
+                    for bh_ in sorted(bhs):
+                        for bw_ in sorted(bws):
+                            jax.block_until_ready(self._fused_member(
+                                jnp.zeros((bh_, bw_, 3), jnp.float32),
+                                jnp.asarray([bh_, bw_], jnp.int32),
+                                jnp.asarray([ph, pw], jnp.int32),
+                                jnp.asarray(0, jnp.int32),
+                                mem_p, mem_l, mem_v,
+                                num_classes=num_classes,
+                                member_bucket=(ph, pw)))
+                elif with_probs:
+                    # the probs pipelines run the whole member as ONE
+                    # fused program per bucket
+                    jax.block_until_ready(self._fused_probs(
+                        jnp.zeros((ph, pw, 3), jnp.float32),
+                        jnp.asarray([ph, pw], jnp.int32),
+                        mem_p, mem_l, mem_v, num_classes=num_classes))
+                else:
+                    emb = jnp.zeros((ph, pw, cfg.network.embedding_dim),
+                                    jnp.float32)
+                    sem = jnp.zeros((ph, pw), jnp.int32)
+                    inst = jnp.zeros((ph, pw), jnp.int32)
+                    jax.block_until_ready(self._cluster_predict(
+                        emb, sem, inst, mem_p, mem_l, mem_v,
+                        num_classes=num_classes))
+                    # the overlap accumulator + its final division also
+                    # compile once per bucket — warm them too so the
+                    # first real image is steady-state
+                    total = jnp.zeros(
+                        (ph, pw, cfg.network.embedding_dim), jnp.float32)
+                    counts = jnp.zeros((ph, pw, 1), jnp.float32)
+                    e = jnp.zeros(
+                        self.crop + (cfg.network.embedding_dim,),
+                        jnp.float32)
+                    total, counts = self._accumulate(total, counts, e,
+                                                     0, 0)
+                    jax.block_until_ready(total / counts)
                 warmed.append((ph, pw))
         if with_probs:
             # MSC's bucket-static resize/accumulate programs:
@@ -246,6 +280,101 @@ class InferenceEngine:
         return jnp.take(seg_probs, seg_map.reshape(-1),
                         axis=0).reshape(h, w, num_classes)
 
+    def _fused_probs_impl(self, img, hw, memory_protos, memory_labels,
+                          memory_valid, num_classes: int):
+        """The WHOLE per-pyramid-member pipeline in one program:
+        sliding-window patches -> batched embed forward -> overlap
+        average -> k-means -> top-20 KNN probs. One dispatch per member
+        instead of ~10-15 (each eager slice/accumulate/divide call costs
+        a tunnel round-trip; MSC_PROFILE.json measured ~30 ms of device
+        compute per 512-bucket member vs ~230 ms observed per member —
+        the rest was dispatch).
+
+        img: [Hb, Wb, 3] host-padded to the bucket; hw: [2] int32 valid
+        (h, w) — traced, so one compiled program per bucket serves every
+        image shape in it. Returns [Hb, Wb, C] device probs.
+        """
+        crop_h, crop_w = self.crop
+        pad_h, pad_w = img.shape[:2]
+        ends_h = [int(e) for e in patch_ends(pad_h, crop_h,
+                                             self.stride[0])]
+        ends_w = [int(e) for e in patch_ends(pad_w, crop_w,
+                                             self.stride[1])]
+        windows = [(eh - crop_h, ew - crop_w)
+                   for eh in ends_h for ew in ends_w]
+
+        patches = jnp.stack([img[sh:sh + crop_h, sw:sw + crop_w]
+                             for sh, sw in windows])
+        emb, _ = self.emb_model.apply(self.variables, patches,
+                                      train=False, resize_as_input=True)
+        emb = common.normalize_embedding(emb.astype(jnp.float32))
+
+        total = jnp.zeros((pad_h, pad_w, emb.shape[-1]), jnp.float32)
+        counts = jnp.zeros((pad_h, pad_w, 1), jnp.float32)
+        for k, (sh, sw) in enumerate(windows):
+            total = total.at[sh:sh + crop_h, sw:sw + crop_w].add(emb[k])
+            counts = counts.at[sh:sh + crop_h, sw:sw + crop_w].add(1.0)
+        emb_map = total / counts
+
+        # fake labels from the traced valid size (== _fake_labels)
+        ignore = self.config.dataset.semantic_ignore_index
+        row = jnp.arange(pad_h, dtype=jnp.int32)[:, None]
+        col = jnp.arange(pad_w, dtype=jnp.int32)[None, :]
+        inside = (row < hw[0]) & (col < hw[1])
+        sem = jnp.where(inside, 0, ignore).astype(jnp.int32)
+        inst = jnp.zeros((pad_h, pad_w), jnp.int32)
+        return self._cluster_probs_impl(
+            emb_map, sem, inst, memory_protos, memory_labels,
+            memory_valid, num_classes)
+
+    def _fused_member_impl(self, base_img, base_hw, member_hw, flip,
+                           memory_protos, memory_labels, memory_valid,
+                           num_classes: int, member_bucket):
+        """A whole pyramid MEMBER from the base image, on device: the
+        bilinear scale resize (+ optional horizontal flip) happens here
+        instead of on the host, so an MSC image uploads its base ONCE
+        (~3 MB) instead of one resized member per (scale, flip)
+        (~22 MB/image — at the tunnel's measured ~20-30 MB/s the
+        transfers, not compute, were the whole MSC latency).
+
+        base_img: [Hb0, Wb0, 3] host-padded base; base_hw/member_hw: [2]
+        int32 valid sizes (traced); flip: [] int32/bool (traced — one
+        program serves both flips); member_bucket: static (Hb, Wb) of
+        the member's pad bucket. The resize is the same
+        half-pixel-center, edge-clamped 2-tap bilinear as
+        msc._resize_accumulate == cv2.INTER_LINEAR — the reference's
+        image resize kernel (inference_msc.py:150-160); pixels past the
+        member's valid size are zeroed, matching resize_with_pad(0.0).
+        """
+        mb_h, mb_w = member_bucket
+        bh = base_hw[0].astype(jnp.float32)
+        bw = base_hw[1].astype(jnp.float32)
+        mh = member_hw[0].astype(jnp.float32)
+        mw = member_hw[1].astype(jnp.float32)
+
+        def weights(n_out_b, n_in_b, valid_out, valid_in, reverse):
+            i = jnp.arange(n_out_b, dtype=jnp.float32)
+            src = jnp.clip((i + 0.5) * (valid_in / valid_out) - 0.5,
+                           0.0, valid_in - 1.0)
+            src = jnp.where(reverse, (valid_in - 1.0) - src, src)
+            y = jnp.arange(n_in_b, dtype=jnp.float32)
+            return jnp.maximum(
+                0.0, 1.0 - jnp.abs(src[:, None] - y[None, :]))
+
+        wr = weights(mb_h, base_img.shape[0], mh, bh, False)
+        wc = weights(mb_w, base_img.shape[1], mw, bw, flip != 0)
+        member = jnp.einsum("oi,iwc->owc", wr, base_img,
+                            preferred_element_type=jnp.float32)
+        member = jnp.einsum("pw,owc->opc", wc, member,
+                            preferred_element_type=jnp.float32)
+        row = jnp.arange(mb_h, dtype=jnp.int32)[:, None]
+        col = jnp.arange(mb_w, dtype=jnp.int32)[None, :]
+        inside = (row < member_hw[0]) & (col < member_hw[1])
+        member = jnp.where(inside[..., None], member, 0.0)
+        return self._fused_probs_impl(
+            member, member_hw, memory_protos, memory_labels,
+            memory_valid, num_classes)
+
     @staticmethod
     def _majority_impl(seg_map, labels, valid, num_segments, num_bins: int):
         """Per-segment label histograms -> majority label (on device)."""
@@ -277,7 +406,8 @@ class InferenceEngine:
     def predict_topk_probs(self, image: np.ndarray, memory_protos,
                            memory_labels, memory_valid,
                            device_out: bool = False,
-                           bucket_out: bool = False):
+                           bucket_out: bool = False,
+                           fused: bool = True):
         """[H, W, C] probabilities from averaging one-hot top-20 labels
         (inference_msc.py:221-240); used by MSC / CRF variants.
 
@@ -286,20 +416,48 @@ class InferenceEngine:
         bucket-shaped map — the crop is an exact-shape eager op that
         compiles per distinct image size over the tunnel, so the MSC
         path keeps everything bucket-shaped
-        (msc.msc_predict_probs_bucketed)."""
+        (msc.msc_predict_probs_bucketed).
+
+        fused=True (default) runs pad->patches->embed->stitch->cluster->
+        probs as ONE jitted program per bucket (_fused_probs_impl);
+        fused=False keeps the original eager-stitched path (same math,
+        parity-tested in tests/test_inference.py)."""
         c = self.config.dataset.num_classes
-        emb_map = self.stitched_embeddings(image)
-        pad_h, pad_w = emb_map.shape[:2]
         h, w = image.shape[:2]
-        sem, inst = self._fake_labels(pad_h, pad_w, h, w)
-        probs = self._cluster_probs(
-            emb_map, sem, inst, memory_protos, memory_labels,
-            memory_valid, num_classes=c)
+        if fused:
+            pad_h, pad_w = self.bucket_shape(h, w)
+            img = transforms.resize_with_pad(image, (pad_h, pad_w), 0.0)
+            probs = self._fused_probs(
+                jnp.asarray(img), jnp.asarray([h, w], jnp.int32),
+                memory_protos, memory_labels, memory_valid,
+                num_classes=c)
+        else:
+            emb_map = self.stitched_embeddings(image)
+            pad_h, pad_w = emb_map.shape[:2]
+            sem, inst = self._fake_labels(pad_h, pad_w, h, w)
+            probs = self._cluster_probs(
+                emb_map, sem, inst, memory_protos, memory_labels,
+                memory_valid, num_classes=c)
         if bucket_out:
             return probs
         if device_out:
             return probs[:h, :w]
         return np.asarray(probs)[:h, :w]
+
+    def predict_member_probs(self, base_dev, base_hw, member_hw: tuple,
+                             flip: bool, memory_protos, memory_labels,
+                             memory_valid):
+        """One pyramid member's bucket-shaped [Hb, Wb, C] device probs
+        from the device-resident base image (see _fused_member_impl).
+        base_dev: [Hb0, Wb0, 3] device array; base_hw: [2] int32 device
+        array; member_hw: python (h, w) of the scaled member."""
+        member_bucket = self.bucket_shape(*member_hw)
+        return self._fused_member(
+            base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
+            jnp.asarray(1 if flip else 0, jnp.int32),
+            memory_protos, memory_labels, memory_valid,
+            num_classes=self.config.dataset.num_classes,
+            member_bucket=member_bucket)
 
     def build_prototypes(self, image: np.ndarray,
                          semantic_label: np.ndarray,

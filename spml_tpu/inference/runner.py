@@ -58,7 +58,8 @@ def _load_memory(args, config):
             jnp.ones((protos.shape[0],), bool))
 
 
-def _warm(eng, config, scales=(1.0,), memory=None, with_probs=False):
+def _warm(eng, config, scales=(1.0,), memory=None, with_probs=False,
+          device_pyramid=False):
     """AOT-warm the engine's shape buckets (documented cost: one
     compile per bucket, amortized across runs by the persistent cache)."""
     import time
@@ -67,7 +68,8 @@ def _warm(eng, config, scales=(1.0,), memory=None, with_probs=False):
     t0 = time.time()
     warmed = eng.warmup(
         max_hw=int(np.ceil(config.test.image_size * max(scales))),
-        memory=memory, with_probs=with_probs)
+        memory=memory, with_probs=with_probs,
+        device_pyramid=device_pyramid)
     print(f"warmup: {len(warmed)} shape buckets in "
           f"{time.time() - t0:.1f}s", flush=True)
 
@@ -128,7 +130,7 @@ def run_knn_inference(args, config, msc=False, crf=False,
     eng = engine_lib.InferenceEngine(config, *eng_model)
     memory = _load_memory(args, config)
     _warm(eng, config, scales=scales if msc else (1.0,), memory=memory,
-          with_probs=(msc or crf))
+          with_probs=(msc or crf), device_pyramid=msc)
     postprocessor = cli.crf_from_args(args) if crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
 
@@ -138,11 +140,8 @@ def run_knn_inference(args, config, msc=False, crf=False,
         image, _, _ = _maybe_resize_input(config, image0)
         if msc or crf:
             if msc:
-                probs = msc_lib.msc_predict_probs_bucketed(
-                    lambda im: eng.predict_topk_probs(
-                        im, *memory, bucket_out=True),
-                    image, scales=scales,
-                    bucket_shape=eng.bucket_shape, is_flip=True)
+                probs = msc_lib.msc_predict_probs_device(
+                    eng, image, memory, scales=scales, is_flip=True)
             else:
                 probs = eng.predict_topk_probs(image, *memory)
             probs = transforms._resize_image(probs, oh, ow)
@@ -305,7 +304,8 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
     eng_model = cli.build_eval_models(config, args.snapshot_dir)
     eng = engine_lib.InferenceEngine(config, *eng_model)
     memory = _load_memory(args, config)
-    _warm(eng, config, scales=scales, memory=memory, with_probs=True)
+    _warm(eng, config, scales=scales, memory=memory, with_probs=True,
+          device_pyramid=True)
     postprocessor = cli.crf_from_args(args) if with_crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
     C = config.dataset.num_classes
@@ -314,11 +314,8 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
     for _, base, image, sem, _ in cli.iterate_test_images(
             config, args.data_dir, args.data_list):
         oh, ow = image.shape[:2]
-        probs = msc_lib.msc_predict_probs_bucketed(
-            lambda im: eng.predict_topk_probs(im, *memory,
-                                              bucket_out=True),
-            image, scales=scales, bucket_shape=eng.bucket_shape,
-            is_flip=True)
+        probs = msc_lib.msc_predict_probs_device(
+            eng, image, memory, scales=scales, is_flip=True)
         probs = probs.transpose(2, 0, 1)
         if sem is not None:
             tags = np.zeros(C, np.float32)

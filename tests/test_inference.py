@@ -97,6 +97,78 @@ def test_msc_probs_average():
     assert acc > 0.7
 
 
+def test_fused_member_program_matches_eager():
+    """The one-dispatch fused member program (pad->patches->embed->
+    stitch->cluster->probs) equals the original eager-stitched path,
+    including on a ragged image that needs padding and a multi-patch
+    sliding window."""
+    eng, cfg = _engine(crop=32, stride=16)
+    rng = np.random.RandomState(5)
+    img = rng.randn(40, 33, 3).astype(np.float32)
+    gt = np.zeros((40, 33), np.int32)
+    gt[20:, :] = 2
+    protos, labels, valid = eng.build_prototypes(img, gt)
+    mp = jnp.asarray(np.tile(protos[valid], (20, 1)))
+    ml = jnp.asarray(np.tile(labels[valid], 20))
+    mv = jnp.ones((20 * int(valid.sum()),), bool)
+
+    fused = eng.predict_topk_probs(img, mp, ml, mv, fused=True)
+    eager = eng.predict_topk_probs(img, mp, ml, mv, fused=False)
+    assert fused.shape == eager.shape == (40, 33, 4)
+    np.testing.assert_allclose(fused, eager, rtol=1e-4, atol=1e-5)
+
+
+def test_msc_device_pyramid_matches_host():
+    """msc_predict_probs_device (base uploaded once, scale-resize + flip
+    inside the fused member program) == the host-resize bucketed path
+    when the host resize uses the same half-pixel bilinear kernel
+    (cv2.INTER_LINEAR semantics — what the device computes and what the
+    reference uses; PIL antialiases on downscale, hence the oracle)."""
+    from unittest import mock
+
+    from spml_tpu.data import transforms
+
+    def oracle_resize(img, nh, nw):
+        h, w = img.shape[:2]
+
+        def w_axis(n_out, n_in):
+            src = np.clip((np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5,
+                          0, n_in - 1)
+            y = np.arange(n_in)
+            return np.maximum(
+                0.0, 1.0 - np.abs(src[:, None] - y[None, :]))
+
+        wr = w_axis(nh, h).astype(np.float32)
+        wc = w_axis(nw, w).astype(np.float32)
+        if img.ndim == 2:
+            return wr @ img @ wc.T
+        return np.einsum("oi,iwc,pw->opc", wr, img, wc)
+
+    eng, cfg = _engine(crop=32, stride=32)
+    rng = np.random.RandomState(6)
+    img = rng.randn(30, 32, 3).astype(np.float32)
+    gt = np.zeros((30, 32), np.int32)
+    gt[15:, :] = 2
+    protos, labels, valid = eng.build_prototypes(img, gt)
+    mp = jnp.asarray(np.tile(protos[valid], (20, 1)))
+    ml = jnp.asarray(np.tile(labels[valid], 20))
+    mv = jnp.ones((20 * int(valid.sum()),), bool)
+    memory = (mp, ml, mv)
+    scales = [0.75, 1.0, 1.25]
+
+    device = msc_lib.msc_predict_probs_device(
+        eng, img, memory, scales=scales, is_flip=True,
+        transfer_dtype=np.float32)
+    with mock.patch.object(transforms, "_resize_image", oracle_resize):
+        host = msc_lib.msc_predict_probs_bucketed(
+            lambda im: eng.predict_topk_probs(im, *memory,
+                                              bucket_out=True),
+            img, scales=scales, bucket_shape=eng.bucket_shape,
+            is_flip=True)
+    assert device.shape == host.shape == (30, 32, 4)
+    np.testing.assert_allclose(device, host, rtol=1e-4, atol=1e-5)
+
+
 def test_miou_hand_computed():
     m = metrics.MeanIoU(3)
     pred = np.array([[0, 0], [1, 2]])
