@@ -52,6 +52,43 @@ def patch_ends(pad: int, crop: int, stride: int) -> np.ndarray:
     return np.linspace(crop, pad, n).astype(np.int32)
 
 
+def bucket_dim(size: int, crop: int, stride: int) -> int:
+    """Round a padded dimension up to crop + k*stride so distinct image
+    sizes share compiled programs (shared by the KNN and softmax
+    engines)."""
+    if size <= crop:
+        return crop
+    k = int(math.ceil((size - crop) / stride))
+    return crop + k * stride
+
+
+def device_member_resize(base_img, base_hw, member_hw, flip,
+                         member_bucket):
+    """Build one pyramid member from the device-resident base image:
+    bilinear scale resize (cv2.INTER_LINEAR semantics) + optional
+    horizontal flip (traced flag), all at static bucket shapes with
+    traced valid sizes. Pixels past the member's valid size are zeroed,
+    matching resize_with_pad(0.0). Shared by the KNN and softmax fused
+    member programs."""
+    from spml_tpu.inference.msc import bilinear_resize_weights
+    mb_h, mb_w = member_bucket
+    bh = base_hw[0].astype(jnp.float32)
+    bw = base_hw[1].astype(jnp.float32)
+    mh = member_hw[0].astype(jnp.float32)
+    mw = member_hw[1].astype(jnp.float32)
+    wr = bilinear_resize_weights(mb_h, base_img.shape[0], mh, bh, False)
+    wc = bilinear_resize_weights(mb_w, base_img.shape[1], mw, bw,
+                                 flip != 0)
+    member = jnp.einsum("oi,iwc->owc", wr, base_img,
+                        preferred_element_type=jnp.float32)
+    member = jnp.einsum("pw,owc->opc", wc, member,
+                        preferred_element_type=jnp.float32)
+    row = jnp.arange(mb_h, dtype=jnp.int32)[:, None]
+    col = jnp.arange(mb_w, dtype=jnp.int32)[None, :]
+    inside = (row < member_hw[0]) & (col < member_hw[1])
+    return jnp.where(inside[..., None], member, 0.0)
+
+
 class InferenceEngine:
     def __init__(self, config, emb_model, variables):
         self.config = config
@@ -94,12 +131,7 @@ class InferenceEngine:
         return total, counts
 
     def _bucket(self, size: int, crop: int, stride: int) -> int:
-        """Round a padded dimension up to crop + k*stride so distinct
-        image sizes share compiled programs."""
-        if size <= crop:
-            return crop
-        k = int(math.ceil((size - crop) / stride))
-        return crop + k * stride
+        return bucket_dim(size, crop, stride)
 
     def bucket_shape(self, h: int, w: int) -> tuple[int, int]:
         if not self.pad_buckets:
@@ -346,31 +378,8 @@ class InferenceEngine:
         image resize kernel (inference_msc.py:150-160); pixels past the
         member's valid size are zeroed, matching resize_with_pad(0.0).
         """
-        mb_h, mb_w = member_bucket
-        bh = base_hw[0].astype(jnp.float32)
-        bw = base_hw[1].astype(jnp.float32)
-        mh = member_hw[0].astype(jnp.float32)
-        mw = member_hw[1].astype(jnp.float32)
-
-        def weights(n_out_b, n_in_b, valid_out, valid_in, reverse):
-            i = jnp.arange(n_out_b, dtype=jnp.float32)
-            src = jnp.clip((i + 0.5) * (valid_in / valid_out) - 0.5,
-                           0.0, valid_in - 1.0)
-            src = jnp.where(reverse, (valid_in - 1.0) - src, src)
-            y = jnp.arange(n_in_b, dtype=jnp.float32)
-            return jnp.maximum(
-                0.0, 1.0 - jnp.abs(src[:, None] - y[None, :]))
-
-        wr = weights(mb_h, base_img.shape[0], mh, bh, False)
-        wc = weights(mb_w, base_img.shape[1], mw, bw, flip != 0)
-        member = jnp.einsum("oi,iwc->owc", wr, base_img,
-                            preferred_element_type=jnp.float32)
-        member = jnp.einsum("pw,owc->opc", wc, member,
-                            preferred_element_type=jnp.float32)
-        row = jnp.arange(mb_h, dtype=jnp.int32)[:, None]
-        col = jnp.arange(mb_w, dtype=jnp.int32)[None, :]
-        inside = (row < member_hw[0]) & (col < member_hw[1])
-        member = jnp.where(inside[..., None], member, 0.0)
+        member = device_member_resize(base_img, base_hw, member_hw, flip,
+                                      member_bucket)
         return self._fused_probs_impl(
             member, member_hw, memory_protos, memory_labels,
             memory_valid, num_classes)

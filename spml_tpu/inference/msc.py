@@ -64,6 +64,22 @@ def msc_predict_probs(predict_probs_fn, image: np.ndarray, scales,
     return np.asarray(acc / n)
 
 
+def bilinear_resize_weights(n_out_b, n_in_b, valid_out, valid_in,
+                            reverse):
+    """[n_out_b, n_in_b] bilinear sampling weights with half-pixel
+    centers and edge clamp == cv2.INTER_LINEAR (the reference's image
+    and probability resize kernel). valid_out/valid_in may be traced
+    scalars (bucket-static programs); reverse (python bool or traced
+    flag) reflects the source coordinate — resampling the horizontally
+    flipped input without materializing it."""
+    i = jnp.arange(n_out_b, dtype=jnp.float32)
+    src = jnp.clip((i + 0.5) * (valid_in / valid_out) - 0.5,
+                   0.0, valid_in - 1.0)
+    src = jnp.where(reverse, (valid_in - 1.0) - src, src)
+    y = jnp.arange(n_in_b, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - y[None, :]))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("out_bucket", "flip"))
 def _resize_accumulate(acc, probs, in_hw, out_hw, out_bucket, flip):
@@ -89,17 +105,11 @@ def _resize_accumulate(acc, probs, in_hw, out_hw, out_bucket, flip):
     out_h = out_hw[0].astype(jnp.float32)
     out_w = out_hw[1].astype(jnp.float32)
 
-    def weights(n_out_b, n_in_b, valid_out, valid_in, reverse):
-        i = jnp.arange(n_out_b, dtype=jnp.float32)
-        src = jnp.clip((i + 0.5) * (valid_in / valid_out) - 0.5,
-                       0.0, valid_in - 1.0)
-        if reverse:  # member was predicted on the flipped image
-            src = (valid_in - 1.0) - src
-        y = jnp.arange(n_in_b, dtype=jnp.float32)
-        return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - y[None, :]))
-
-    wr = weights(acc.shape[0], probs.shape[0], out_h, in_h, False)
-    wc = weights(acc.shape[1], probs.shape[1], out_w, in_w, flip)
+    wr = bilinear_resize_weights(acc.shape[0], probs.shape[0], out_h,
+                                 in_h, False)
+    # flip: member was predicted on the flipped image
+    wc = bilinear_resize_weights(acc.shape[1], probs.shape[1], out_w,
+                                 in_w, flip)
     del out_bucket
     tmp = jnp.einsum("oi,iwc->owc", wr, probs,
                      preferred_element_type=jnp.float32)
@@ -108,8 +118,8 @@ def _resize_accumulate(acc, probs, in_hw, out_hw, out_bucket, flip):
     return acc + res
 
 
-def msc_predict_probs_device(engine, image: np.ndarray, memory, scales,
-                             is_flip: bool = True,
+def msc_predict_probs_device(engine, image: np.ndarray, member_args,
+                             scales, is_flip: bool = True,
                              transfer_dtype=np.float16) -> np.ndarray:
     """MSC average with the ENTIRE pyramid on device: the base image is
     uploaded ONCE and each member's scale-resize + flip happens inside
@@ -118,6 +128,11 @@ def msc_predict_probs_device(engine, image: np.ndarray, memory, scales,
     probability download. Over the tunneled chip (measured ~20-30 MB/s)
     the per-member host resize + upload of msc_predict_probs_bucketed
     (~22 MB/image at 512) WAS the steady-state latency.
+
+    Works with any engine exposing bucket_shape(h, w) and
+    predict_member_probs(base_dev, base_hw, member_hw, flip,
+    *member_args) — the KNN InferenceEngine (member_args = the memory
+    bank triple) and the SoftmaxInferenceEngine (member_args = ()).
 
     transfer_dtype: dtype of the downloaded accumulated probs. The
     top-20 one-hot means are quantized at 1/20 per member, so float16
@@ -138,7 +153,7 @@ def msc_predict_probs_device(engine, image: np.ndarray, memory, scales,
         member_hw = (int(h * scale), int(w * scale))
         for f in flips:
             probs = engine.predict_member_probs(
-                base_dev, base_hw, member_hw, f, *memory)
+                base_dev, base_hw, member_hw, f, *member_args)
             if acc is None:
                 acc = jnp.zeros(base_b + (probs.shape[-1],), jnp.float32)
             in_hw = jnp.asarray(member_hw, jnp.int32)

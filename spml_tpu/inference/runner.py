@@ -74,6 +74,18 @@ def _warm(eng, config, scales=(1.0,), memory=None, with_probs=False,
           f"{time.time() - t0:.1f}s", flush=True)
 
 
+def _warm_softmax(eng, config, scales=(1.0,), device_pyramid=False):
+    import time
+    if config.test.image_size <= 0:
+        return
+    t0 = time.time()
+    warmed = eng.warmup(
+        max_hw=int(np.ceil(config.test.image_size * max(scales))),
+        device_pyramid=device_pyramid)
+    print(f"warmup: {len(warmed)} shape buckets in "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+
 def run_prototype(args, config, scales=None, save_clusters=True):
     """Build the semantic memory bank over the train split; also saves
     the cluster-index maps (reference prototype.py:217-227 layout:
@@ -163,6 +175,8 @@ def run_softmax_inference(args, config, msc=False, crf=False,
         config, args.snapshot_dir, with_classifier=True)
     eng = SoftmaxInferenceEngine(config, emb_model, evars, cls_model,
                                  cvars)
+    _warm_softmax(eng, config, scales=scales if msc else (1.0,),
+                  device_pyramid=msc)
     postprocessor = cli.crf_from_args(args) if crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
 
@@ -171,9 +185,8 @@ def run_softmax_inference(args, config, msc=False, crf=False,
         oh, ow = image0.shape[:2]
         image, _, _ = _maybe_resize_input(config, image0)
         if msc:
-            probs = msc_lib.msc_predict_probs(
-                lambda im: eng.predict_probs(im, device_out=True),
-                image, scales=scales, is_flip=True)
+            probs = msc_lib.msc_predict_probs_device(
+                eng, image, (), scales=scales, is_flip=True)
         else:
             probs = eng.predict_probs(image)
         probs = transforms._resize_image(probs, oh, ow)
@@ -266,6 +279,7 @@ def run_pseudo_softmax(args, config, with_crf=False, with_walk=True,
         config, args.snapshot_dir, with_classifier=True)
     eng = SoftmaxInferenceEngine(config, emb_model, evars, cls_model,
                                  cvars)
+    _warm_softmax(eng, config, scales=scales, device_pyramid=True)
     postprocessor = cli.crf_from_args(args) if with_crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
     C = config.dataset.num_classes
@@ -273,9 +287,8 @@ def run_pseudo_softmax(args, config, with_crf=False, with_walk=True,
     for _, base, image, sem, _ in cli.iterate_test_images(
             config, args.data_dir, args.data_list):
         h, w = image.shape[:2]
-        probs = msc_lib.msc_predict_probs(
-            lambda im: eng.predict_probs(im, device_out=True),
-            image, scales=scales, is_flip=True)
+        probs = msc_lib.msc_predict_probs_device(
+            eng, image, (), scales=scales, is_flip=True)
         probs = probs.transpose(2, 0, 1)  # [C, h, w]
         # mask to the image's tags and max-normalize
         # (pseudo_softmaxrw_crf.py:146-158)

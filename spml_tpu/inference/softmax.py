@@ -3,9 +3,18 @@
 Behavioral reference: pyscripts/inference/inference_softmax.py:115-170 in
 twke18/SPML — sliding-window over the padded image, classifier logits
 over L2-normalized embeddings upsampled to the crop size, logits SUMMED
-over overlapping patches, argmax (no count normalization: argmax is
-invariant to the positive patch counts only when counts are uniform;
-the reference sums raw logits and so do we).
+over overlapping patches, argmax (no count normalization: the reference
+sums raw logits and so do we; softmax after the sum — slicing commutes
+with the per-pixel softmax so bucket padding changes nothing).
+
+TPU design mirrors the KNN engine (engine.py): padded shapes are
+BUCKETED to crop + k*stride; the whole per-image (or per-pyramid-member)
+pipeline — pad, sliding-window patches, batched embed+classifier
+forward, logit sum, softmax, and for MSC members the scale-resize +
+flip from the device-resident base — is ONE jitted program per bucket,
+so an MSC image costs one ~3 MB base upload and one probability
+download over the tunneled chip instead of ~22 MB of member transfers
+(PERF.md "MSC inference latency").
 """
 
 from __future__ import annotations
@@ -15,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from spml_tpu.data import transforms
-from spml_tpu.inference.engine import patch_ends
+from spml_tpu.inference.engine import (bucket_dim, device_member_resize,
+                                       patch_ends)
 from spml_tpu.ops import common
 
 
@@ -28,7 +38,18 @@ class SoftmaxInferenceEngine:
         self.cls_vars = cls_vars
         self.crop = tuple(config.test.crop_size)
         self.stride = tuple(config.test.stride)
+        self.pad_buckets = bool(
+            getattr(config.tpu, "pad_to_stride_buckets", True))
         self._forward = jax.jit(self._forward_impl)
+        self._fused_probs = jax.jit(self._fused_probs_impl)
+        self._fused_member = jax.jit(
+            self._fused_member_impl, static_argnames=("member_bucket",))
+
+    def bucket_shape(self, h: int, w: int) -> tuple[int, int]:
+        if not self.pad_buckets:
+            return max(h, self.crop[0]), max(w, self.crop[1])
+        return (bucket_dim(h, self.crop[0], self.stride[0]),
+                bucket_dim(w, self.crop[1], self.stride[1]))
 
     def _forward_impl(self, image):
         emb, _ = self.emb_model.apply(self.emb_vars, image, train=False,
@@ -37,11 +58,95 @@ class SoftmaxInferenceEngine:
         logits = self.cls_model.apply(self.cls_vars, emb, train=False)
         return logits
 
+    def _fused_probs_impl(self, img):
+        """[Hb, Wb, C] per-pixel softmax of patch-summed logits, one
+        program per bucket: static patch grid, all patches as one
+        batched forward."""
+        crop_h, crop_w = self.crop
+        pad_h, pad_w = img.shape[:2]
+        ends_h = [int(e) for e in patch_ends(pad_h, crop_h,
+                                             self.stride[0])]
+        ends_w = [int(e) for e in patch_ends(pad_w, crop_w,
+                                             self.stride[1])]
+        windows = [(eh - crop_h, ew - crop_w)
+                   for eh in ends_h for ew in ends_w]
+        patches = jnp.stack([img[sh:sh + crop_h, sw:sw + crop_w]
+                             for sh, sw in windows])
+        logits = self._forward_impl(patches)  # [P, ch, cw, C]
+        total = jnp.zeros((pad_h, pad_w, logits.shape[-1]), jnp.float32)
+        for k, (sh, sw) in enumerate(windows):
+            total = total.at[sh:sh + crop_h, sw:sw + crop_w].add(
+                logits[k])
+        return jax.nn.softmax(total, axis=-1)
+
+    def _fused_member_impl(self, base_img, base_hw, member_hw, flip,
+                           member_bucket):
+        member = device_member_resize(base_img, base_hw, member_hw, flip,
+                                      member_bucket)
+        return self._fused_probs_impl(member)
+
+    def predict_member_probs(self, base_dev, base_hw, member_hw: tuple,
+                             flip: bool):
+        """One MSC member's bucket-shaped [Hb, Wb, C] device probs from
+        the device-resident base image (msc.msc_predict_probs_device)."""
+        member_bucket = self.bucket_shape(*member_hw)
+        return self._fused_member(
+            base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
+            jnp.asarray(1 if flip else 0, jnp.int32),
+            member_bucket=member_bucket)
+
+    def warmup(self, max_hw: int | None = None,
+               device_pyramid: bool = False) -> list:
+        """AOT-compile the bucket programs (see engine.warmup)."""
+        cfg = self.config
+        if max_hw is None:
+            max_hw = cfg.test.image_size or max(self.crop)
+        hs = sorted({bucket_dim(s, self.crop[0], self.stride[0])
+                     for s in range(1, max_hw + 1)})
+        ws = sorted({bucket_dim(s, self.crop[1], self.stride[1])
+                     for s in range(1, max_hw + 1)})
+        base_max = cfg.test.image_size or max(self.crop)
+        bhs = sorted({bucket_dim(s, self.crop[0], self.stride[0])
+                      for s in range(1, base_max + 1)})
+        bws = sorted({bucket_dim(s, self.crop[1], self.stride[1])
+                      for s in range(1, base_max + 1)})
+        warmed = []
+        for ph in hs:
+            for pw in ws:
+                if device_pyramid:
+                    for bh in bhs:
+                        for bw in bws:
+                            jax.block_until_ready(self._fused_member(
+                                jnp.zeros((bh, bw, 3), jnp.float32),
+                                jnp.asarray([bh, bw], jnp.int32),
+                                jnp.asarray([ph, pw], jnp.int32),
+                                jnp.asarray(0, jnp.int32),
+                                member_bucket=(ph, pw)))
+                else:
+                    jax.block_until_ready(self._fused_probs(
+                        jnp.zeros((ph, pw, 3), jnp.float32)))
+                warmed.append((ph, pw))
+        if device_pyramid:
+            from spml_tpu.inference import msc as msc_lib
+            c = cfg.dataset.num_classes
+            hw = jnp.asarray([self.crop[0], self.crop[1]], jnp.int32)
+            for pb in warmed:
+                probs = jnp.zeros(pb + (c,), jnp.float32)
+                for bh in bhs:
+                    for bw in bws:
+                        acc = jnp.zeros((bh, bw, c), jnp.float32)
+                        for flip in (False, True):
+                            jax.block_until_ready(
+                                msc_lib._resize_accumulate(
+                                    acc, probs, hw, hw,
+                                    out_bucket=(bh, bw), flip=flip))
+        return warmed
+
     def predict_logits(self, image: np.ndarray,
                        device_out: bool = False):
-        """[H, W, C] summed sliding-window logits at image resolution.
-        Accumulation stays on device; only the final map comes down
-        (or stays up with device_out=True, for MSC's on-device mean)."""
+        """[H, W, C] summed sliding-window logits at image resolution
+        (the original eager-stitched path; kept for parity tests —
+        predict_probs(fused=False) routes through it)."""
         import jax.lax as lax
         crop_h, crop_w = self.crop
         img = transforms.resize_with_pad(image, self.crop, 0.0)
@@ -66,7 +171,23 @@ class SoftmaxInferenceEngine:
         return np.asarray(total[:h, :w])
 
     def predict_probs(self, image: np.ndarray,
-                      device_out: bool = False):
-        logits = self.predict_logits(image, device_out=True)
-        probs = jax.nn.softmax(logits, axis=-1)
-        return probs if device_out else np.asarray(probs)
+                      device_out: bool = False,
+                      bucket_out: bool = False,
+                      fused: bool = True):
+        if fused:
+            h, w = image.shape[:2]
+            pad = self.bucket_shape(h, w)
+            img = transforms.resize_with_pad(image, pad, 0.0)
+            probs = self._fused_probs(jnp.asarray(img))
+        else:
+            logits = self.predict_logits(image, device_out=True)
+            probs = jax.nn.softmax(logits, axis=-1)
+            h, w = image.shape[:2]
+            if bucket_out or device_out:
+                return probs
+            return np.asarray(probs)
+        if bucket_out:
+            return probs
+        if device_out:
+            return probs[:h, :w]
+        return np.asarray(probs)[:h, :w]

@@ -169,6 +169,55 @@ def test_msc_device_pyramid_matches_host():
     np.testing.assert_allclose(device, host, rtol=1e-4, atol=1e-5)
 
 
+def test_softmax_msc_device_pyramid_matches_host():
+    """Same device-pyramid == host-oracle-resize parity for the softmax
+    engine (stage-2 classifier inference)."""
+    from unittest import mock
+
+    from spml_tpu.data import transforms
+    from spml_tpu.inference.softmax import SoftmaxInferenceEngine
+    from spml_tpu.models.embeddings import ClassifierHead
+
+    def oracle_resize(img, nh, nw):
+        h, w = img.shape[:2]
+
+        def w_axis(n_out, n_in):
+            src = np.clip((np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5,
+                          0, n_in - 1)
+            y = np.arange(n_in)
+            return np.maximum(
+                0.0, 1.0 - np.abs(src[:, None] - y[None, :]))
+
+        wr = w_axis(nh, h).astype(np.float32)
+        wc = w_axis(nw, w).astype(np.float32)
+        if img.ndim == 2:
+            return wr @ img @ wc.T
+        return np.einsum("oi,iwc,pw->opc", wr, img, wc)
+
+    eng, cfg = _engine(crop=32, stride=32)
+    cls_model = ClassifierHead(num_classes=4, hidden_dim=16,
+                               dropout_rate=0.75)
+    cvars = cls_model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 8, 8, 8)), train=False)
+    seng = SoftmaxInferenceEngine(cfg, eng.emb_model, eng.variables,
+                                  cls_model, cvars)
+    rng = np.random.RandomState(7)
+    img = rng.randn(30, 32, 3).astype(np.float32)
+    scales = [0.75, 1.0, 1.25]
+
+    device = msc_lib.msc_predict_probs_device(
+        seng, img, (), scales=scales, is_flip=True,
+        transfer_dtype=np.float32)
+    with mock.patch.object(transforms, "_resize_image", oracle_resize):
+        host = msc_lib.msc_predict_probs_bucketed(
+            lambda im: seng.predict_probs(im, bucket_out=True),
+            img, scales=scales, bucket_shape=seng.bucket_shape,
+            is_flip=True)
+    assert device.shape == host.shape == (30, 32, 4)
+    np.testing.assert_allclose(device, host, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(device.sum(-1), 1.0, atol=1e-4)
+
+
 def test_miou_hand_computed():
     m = metrics.MeanIoU(3)
     pred = np.array([[0, 0], [1, 2]])
