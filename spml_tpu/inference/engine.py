@@ -98,6 +98,12 @@ class InferenceEngine:
         self.stride = tuple(config.test.stride)
         self.pad_buckets = bool(
             getattr(config.tpu, "pad_to_stride_buckets", True))
+        # images upload in the model's compute dtype: with bf16 convs
+        # the first conv casts anyway, so a bf16 upload is free accuracy
+        # -wise and halves the per-image transfer over the tunnel
+        self._img_dtype = (jnp.bfloat16
+                           if config.tpu.compute_dtype == "bfloat16"
+                           else jnp.float32)
         self._embed_patch = jax.jit(self._embed_patch_impl)
         self._accumulate = jax.jit(self._accumulate_impl)
         self._cluster_predict = jax.jit(
@@ -109,6 +115,10 @@ class InferenceEngine:
         self._fused_member = jax.jit(
             self._fused_member_impl,
             static_argnames=("num_classes", "member_bucket"))
+        self._fused_predict = jax.jit(
+            self._fused_predict_impl, static_argnames=("num_classes",))
+        self._fused_prototype = jax.jit(
+            self._fused_prototype_impl, static_argnames=("num_classes",))
         self._majority = jax.jit(
             self._majority_impl,
             static_argnames=("num_segments", "num_bins"))
@@ -139,16 +149,36 @@ class InferenceEngine:
         return (self._bucket(h, self.crop[0], self.stride[0]),
                 self._bucket(w, self.crop[1], self.stride[1]))
 
+    def upload_image(self, image_np: np.ndarray) -> jnp.ndarray:
+        """Host->device image transfer in the compute dtype (bf16 halves
+        the bytes over the tunnel; the model's first conv casts to bf16
+        either way)."""
+        if self._img_dtype == jnp.bfloat16:
+            import ml_dtypes
+            return jnp.asarray(image_np.astype(ml_dtypes.bfloat16))
+        return jnp.asarray(image_np.astype(np.float32, copy=False))
+
     def warmup(self, max_hw: int | None = None, num_classes: int | None = None,
                memory=None, with_probs: bool = False,
-               device_pyramid: bool = False) -> list:
-        """AOT-compile the patch embed + cluster programs for every pad
+               device_pyramid: bool = False, kinds=None) -> list:
+        """AOT-compile the fused per-bucket programs for every pad
         bucket reachable for images whose larger side <= max_hw
         (default test.image_size, falling back to crop). `memory` must
         be the ACTUAL (protos, labels, valid) arrays that will be passed
         later — their shapes are part of the compiled signature.
+
+        kinds: which program families to warm, any of
+          "predict"   — _fused_predict (single-scale KNN prediction)
+          "prototype" — _fused_prototype (memory-bank build)
+          "probs"     — _fused_probs (per-member probs, CRF paths)
+          "pyramid"   — _fused_member (device MSC pyramid)
+        Defaults from the legacy flags: pyramid if device_pyramid,
+        else probs if with_probs, else predict.
         Returns the warmed [Hp, Wp] bucket list."""
         cfg = self.config
+        if kinds is None:
+            kinds = (("pyramid",) if device_pyramid
+                     else ("probs",) if with_probs else ("predict",))
         if max_hw is None:
             max_hw = cfg.test.image_size or max(self.crop)
         if num_classes is None:
@@ -157,6 +187,11 @@ class InferenceEngine:
                      for s in range(1, max_hw + 1)})
         ws = sorted({self._bucket(s, self.crop[1], self.stride[1])
                      for s in range(1, max_hw + 1)})
+        base_max = cfg.test.image_size or max(self.crop)
+        bhs = sorted({self._bucket(s, self.crop[0], self.stride[0])
+                      for s in range(1, base_max + 1)})
+        bws = sorted({self._bucket(s, self.crop[1], self.stride[1])
+                      for s in range(1, base_max + 1)})
         if memory is not None:
             mem_p, mem_l, mem_v = memory
         else:
@@ -164,63 +199,42 @@ class InferenceEngine:
                               jnp.float32)
             mem_l = jnp.zeros((20,), jnp.int32)
             mem_v = jnp.zeros((20,), bool)
-        # the patch program has a single shape
-        self._embed_patch(jnp.zeros((1,) + self.crop + (3,)))
         warmed = []
         for ph in hs:
             for pw in ws:
                 # an image can only reach bucket (ph, pw) if its aspect
                 # fits under max_hw; still warm the full grid — it's
                 # small and warming an unused shape is harmless
-                if device_pyramid:
-                    # the MSC device-pyramid path: one fused program per
-                    # (base bucket, member bucket); the base bucket set
-                    # is what unscaled inputs (<= test.image_size)
-                    # reach
-                    base_max = cfg.test.image_size or max(self.crop)
-                    bhs = {self._bucket(s, self.crop[0], self.stride[0])
-                           for s in range(1, base_max + 1)}
-                    bws = {self._bucket(s, self.crop[1], self.stride[1])
-                           for s in range(1, base_max + 1)}
-                    for bh_ in sorted(bhs):
-                        for bw_ in sorted(bws):
+                img = jnp.zeros((ph, pw, 3), self._img_dtype)
+                hw = jnp.asarray([ph, pw], jnp.int32)
+                if "pyramid" in kinds:
+                    # one fused program per (base bucket, member
+                    # bucket); the base bucket set is what unscaled
+                    # inputs (<= test.image_size) reach
+                    for bh_ in bhs:
+                        for bw_ in bws:
                             jax.block_until_ready(self._fused_member(
-                                jnp.zeros((bh_, bw_, 3), jnp.float32),
+                                jnp.zeros((bh_, bw_, 3),
+                                          self._img_dtype),
                                 jnp.asarray([bh_, bw_], jnp.int32),
-                                jnp.asarray([ph, pw], jnp.int32),
-                                jnp.asarray(0, jnp.int32),
+                                hw, jnp.asarray(0, jnp.int32),
                                 mem_p, mem_l, mem_v,
                                 num_classes=num_classes,
                                 member_bucket=(ph, pw)))
-                elif with_probs:
-                    # the probs pipelines run the whole member as ONE
-                    # fused program per bucket
+                if "probs" in kinds:
                     jax.block_until_ready(self._fused_probs(
-                        jnp.zeros((ph, pw, 3), jnp.float32),
-                        jnp.asarray([ph, pw], jnp.int32),
-                        mem_p, mem_l, mem_v, num_classes=num_classes))
-                else:
-                    emb = jnp.zeros((ph, pw, cfg.network.embedding_dim),
-                                    jnp.float32)
-                    sem = jnp.zeros((ph, pw), jnp.int32)
-                    inst = jnp.zeros((ph, pw), jnp.int32)
-                    jax.block_until_ready(self._cluster_predict(
-                        emb, sem, inst, mem_p, mem_l, mem_v,
+                        img, hw, mem_p, mem_l, mem_v,
                         num_classes=num_classes))
-                    # the overlap accumulator + its final division also
-                    # compile once per bucket — warm them too so the
-                    # first real image is steady-state
-                    total = jnp.zeros(
-                        (ph, pw, cfg.network.embedding_dim), jnp.float32)
-                    counts = jnp.zeros((ph, pw, 1), jnp.float32)
-                    e = jnp.zeros(
-                        self.crop + (cfg.network.embedding_dim,),
-                        jnp.float32)
-                    total, counts = self._accumulate(total, counts, e,
-                                                     0, 0)
-                    jax.block_until_ready(total / counts)
+                if "predict" in kinds:
+                    jax.block_until_ready(self._fused_predict(
+                        img, hw, mem_p, mem_l, mem_v,
+                        num_classes=num_classes))
+                if "prototype" in kinds:
+                    jax.block_until_ready(self._fused_prototype(
+                        img, jnp.zeros((ph, pw), jnp.uint8), hw,
+                        num_classes=num_classes))
                 warmed.append((ph, pw))
-        if with_probs:
+        if "pyramid" in kinds or "probs" in kinds:
             # MSC's bucket-static resize/accumulate programs:
             # one per (member-bucket, base-bucket, flip)
             from spml_tpu.inference import msc as msc_lib
@@ -326,6 +340,17 @@ class InferenceEngine:
         (h, w) — traced, so one compiled program per bucket serves every
         image shape in it. Returns [Hb, Wb, C] device probs.
         """
+        emb_map = self._stitch_impl(img)
+        sem, inst = self._traced_fake_labels(img.shape[:2], hw)
+        return self._cluster_probs_impl(
+            emb_map, sem, inst, memory_protos, memory_labels,
+            memory_valid, num_classes)
+
+    def _stitch_impl(self, img):
+        """Sliding-window patches -> ONE batched embed forward ->
+        overlap-averaged [Hb, Wb, D] embedding map, all in-graph (the
+        traced core of every fused program; static patch grid per
+        bucket)."""
         crop_h, crop_w = self.crop
         pad_h, pad_w = img.shape[:2]
         ends_h = [int(e) for e in patch_ends(pad_h, crop_h,
@@ -346,18 +371,53 @@ class InferenceEngine:
         for k, (sh, sw) in enumerate(windows):
             total = total.at[sh:sh + crop_h, sw:sw + crop_w].add(emb[k])
             counts = counts.at[sh:sh + crop_h, sw:sw + crop_w].add(1.0)
-        emb_map = total / counts
+        return total / counts
 
-        # fake labels from the traced valid size (== _fake_labels)
+    def _traced_fake_labels(self, pad_shape, hw):
+        """Fake zero labels with ignore outside the traced valid size
+        (== _fake_labels, but in-graph)."""
+        pad_h, pad_w = pad_shape
         ignore = self.config.dataset.semantic_ignore_index
         row = jnp.arange(pad_h, dtype=jnp.int32)[:, None]
         col = jnp.arange(pad_w, dtype=jnp.int32)[None, :]
         inside = (row < hw[0]) & (col < hw[1])
         sem = jnp.where(inside, 0, ignore).astype(jnp.int32)
         inst = jnp.zeros((pad_h, pad_w), jnp.int32)
-        return self._cluster_probs_impl(
+        return sem, inst
+
+    def _fused_predict_impl(self, img, hw, memory_protos, memory_labels,
+                            memory_valid, num_classes: int):
+        """Whole single-scale KNN prediction (pad->patches->embed->
+        stitch->k-means->top-20 majority) as one program per bucket;
+        returns the [Hb, Wb] prediction as uint16 so the per-image
+        download is ~0.5 MB instead of ~1 MB int32 over the tunnel."""
+        emb_map = self._stitch_impl(img)
+        sem, inst = self._traced_fake_labels(img.shape[:2], hw)
+        pred, _, _, _, _ = self._cluster_predict_impl(
             emb_map, sem, inst, memory_protos, memory_labels,
             memory_valid, num_classes)
+        return pred.astype(jnp.uint16)
+
+    def _fused_prototype_impl(self, img, real_sem, hw, num_classes: int):
+        """Whole memory-bank entry build (prototype.py:184-227) as one
+        program per bucket: stitch -> fake-label k-means -> prototypes +
+        majority REAL label per cluster. real_sem: [Hb, Wb] uint8 padded
+        with ignore (uint8 keeps the upload at 1 byte/px over the
+        tunnel). Returns (protos, labels, seg_valid, seg_map u16)."""
+        real_sem = real_sem.astype(jnp.int32)
+        emb_map = self._stitch_impl(img)
+        sem, inst = self._traced_fake_labels(img.shape[:2], hw)
+        dim = emb_map.shape[-1]
+        dummy_p = jnp.zeros((20, dim), jnp.float32)
+        dummy_l = jnp.zeros((20,), jnp.int32)
+        dummy_v = jnp.zeros((20,), bool)
+        _, seg_map, protos, seg_valid, _ = self._cluster_predict_impl(
+            emb_map, sem, inst, dummy_p, dummy_l, dummy_v, num_classes)
+        ignore = self.config.dataset.semantic_ignore_index
+        labels = self._majority_impl(seg_map, real_sem,
+                                     real_sem != ignore,
+                                     int(protos.shape[0]), num_bins=256)
+        return protos, labels, seg_valid, seg_map.astype(jnp.uint16)
 
     def _fused_member_impl(self, base_img, base_hw, member_hw, flip,
                            memory_protos, memory_labels, memory_valid,
@@ -400,12 +460,24 @@ class InferenceEngine:
         return jnp.asarray(sem), jnp.asarray(inst)
 
     def predict_semantic(self, image: np.ndarray, memory_protos,
-                         memory_labels, memory_valid) -> np.ndarray:
+                         memory_labels, memory_valid,
+                         fused: bool = True) -> np.ndarray:
         """Full single-scale KNN inference for one (resized) image.
-        Returns [H, W] int32 class prediction at the image's resolution."""
+        Returns [H, W] int32 class prediction at the image's resolution.
+        fused=True runs it as one program per bucket (fused=False keeps
+        the eager-stitched path; parity-tested)."""
+        h, w = image.shape[:2]
+        if fused:
+            pad = self.bucket_shape(h, w)
+            img = transforms.resize_with_pad(image, pad, 0.0)
+            pred = self._fused_predict(
+                self.upload_image(img),
+                jnp.asarray([h, w], jnp.int32),
+                memory_protos, memory_labels, memory_valid,
+                num_classes=self.config.dataset.num_classes)
+            return np.asarray(pred)[:h, :w].astype(np.int32)
         emb_map = self.stitched_embeddings(image)
         pad_h, pad_w = emb_map.shape[:2]
-        h, w = image.shape[:2]
         sem, inst = self._fake_labels(pad_h, pad_w, h, w)
         pred, _, _, _, _ = self._cluster_predict(
             emb_map, sem, inst, memory_protos, memory_labels,
@@ -437,7 +509,8 @@ class InferenceEngine:
             pad_h, pad_w = self.bucket_shape(h, w)
             img = transforms.resize_with_pad(image, (pad_h, pad_w), 0.0)
             probs = self._fused_probs(
-                jnp.asarray(img), jnp.asarray([h, w], jnp.int32),
+                self.upload_image(img),
+                jnp.asarray([h, w], jnp.int32),
                 memory_protos, memory_labels, memory_valid,
                 num_classes=c)
         else:
@@ -470,17 +543,36 @@ class InferenceEngine:
 
     def build_prototypes(self, image: np.ndarray,
                          semantic_label: np.ndarray,
-                         return_clusters: bool = False):
+                         return_clusters: bool = False,
+                         fused: bool = True):
         """Memory-bank entry for one train image: k-means prototypes +
         majority ground-truth label (prototype.py:194-227).
 
         semantic_label: [H, W] at the image's (resized) resolution.
         Returns (prototypes [K, D], labels [K], valid [K]) and, when
         return_clusters, the [H, W] cluster-index map as a 4th element.
-        """
+        fused=True runs it as one program per bucket with a uint8 label
+        upload and uint16 cluster-map download (the eager path remains
+        for parity tests)."""
+        h, w = image.shape[:2]
+        ignore = self.config.dataset.semantic_ignore_index
+        if fused:
+            pad = self.bucket_shape(h, w)
+            img = transforms.resize_with_pad(image, pad, 0.0)
+            real = np.full(pad, ignore, np.uint8)
+            real[:h, :w] = semantic_label
+            protos, labels, seg_valid, seg_map = self._fused_prototype(
+                self.upload_image(img), jnp.asarray(real),
+                jnp.asarray([h, w], jnp.int32),
+                num_classes=self.config.dataset.num_classes)
+            out = (np.asarray(protos), np.asarray(labels),
+                   np.asarray(seg_valid))
+            if return_clusters:
+                return out + (np.asarray(seg_map)[:h, :w]
+                              .astype(np.int32),)
+            return out
         emb_map = self.stitched_embeddings(image)
         pad_h, pad_w = emb_map.shape[:2]
-        h, w = image.shape[:2]
         sem, inst = self._fake_labels(pad_h, pad_w, h, w)
         dummy_mem = jnp.zeros((20, emb_map.shape[-1]), jnp.float32)
         _, seg_map, protos, seg_valid, _ = self._cluster_predict(
@@ -489,7 +581,6 @@ class InferenceEngine:
             num_classes=self.config.dataset.num_classes)
 
         # majority REAL label per cluster over valid pixels (on device)
-        ignore = self.config.dataset.semantic_ignore_index
         real = np.full((pad_h, pad_w), ignore, np.int32)
         real[:h, :w] = semantic_label
         real_dev = jnp.asarray(real)

@@ -142,7 +142,8 @@ def msc_predict_probs_device(engine, image: np.ndarray, member_args,
     h, w = image.shape[:2]
     base_b = engine.bucket_shape(h, w)
     base = transforms.resize_with_pad(image, base_b, 0.0)
-    base_dev = jnp.asarray(base)
+    base_dev = (engine.upload_image(base)
+                if hasattr(engine, "upload_image") else jnp.asarray(base))
     base_hw = jnp.asarray([h, w], jnp.int32)
 
     flips = [False, True] if is_flip else [False]

@@ -58,8 +58,8 @@ def _load_memory(args, config):
             jnp.ones((protos.shape[0],), bool))
 
 
-def _warm(eng, config, scales=(1.0,), memory=None, with_probs=False,
-          device_pyramid=False):
+def _warm(eng, config, scales=(1.0,), memory=None,
+          kinds=("predict",)):
     """AOT-warm the engine's shape buckets (documented cost: one
     compile per bucket, amortized across runs by the persistent cache)."""
     import time
@@ -68,8 +68,7 @@ def _warm(eng, config, scales=(1.0,), memory=None, with_probs=False,
     t0 = time.time()
     warmed = eng.warmup(
         max_hw=int(np.ceil(config.test.image_size * max(scales))),
-        memory=memory, with_probs=with_probs,
-        device_pyramid=device_pyramid)
+        memory=memory, kinds=kinds)
     print(f"warmup: {len(warmed)} shape buckets in "
           f"{time.time() - t0:.1f}s", flush=True)
 
@@ -93,7 +92,7 @@ def run_prototype(args, config, scales=None, save_clusters=True):
     import PIL.Image
     eng_model = cli.build_eval_models(config, args.snapshot_dir)
     eng = engine_lib.InferenceEngine(config, *eng_model)
-    _warm(eng, config, scales=scales or [1.0])
+    _warm(eng, config, scales=scales or [1.0], kinds=("prototype",))
     out_dir = os.path.join(args.save_dir, "semantic_prototype")
     os.makedirs(out_dir, exist_ok=True)
     if save_clusters:
@@ -142,7 +141,8 @@ def run_knn_inference(args, config, msc=False, crf=False,
     eng = engine_lib.InferenceEngine(config, *eng_model)
     memory = _load_memory(args, config)
     _warm(eng, config, scales=scales if msc else (1.0,), memory=memory,
-          with_probs=(msc or crf), device_pyramid=msc)
+          kinds=(("pyramid",) if msc
+                 else ("probs",) if crf else ("predict",)))
     postprocessor = cli.crf_from_args(args) if crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
 
@@ -317,8 +317,8 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
     eng_model = cli.build_eval_models(config, args.snapshot_dir)
     eng = engine_lib.InferenceEngine(config, *eng_model)
     memory = _load_memory(args, config)
-    _warm(eng, config, scales=scales, memory=memory, with_probs=True,
-          device_pyramid=True)
+    _warm(eng, config, scales=scales, memory=memory,
+          kinds=("pyramid",))
     postprocessor = cli.crf_from_args(args) if with_crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
     C = config.dataset.num_classes

@@ -40,6 +40,9 @@ class SoftmaxInferenceEngine:
         self.stride = tuple(config.test.stride)
         self.pad_buckets = bool(
             getattr(config.tpu, "pad_to_stride_buckets", True))
+        self._img_dtype = (jnp.bfloat16
+                           if config.tpu.compute_dtype == "bfloat16"
+                           else jnp.float32)
         self._forward = jax.jit(self._forward_impl)
         self._fused_probs = jax.jit(self._fused_probs_impl)
         self._fused_member = jax.jit(
@@ -50,6 +53,12 @@ class SoftmaxInferenceEngine:
             return max(h, self.crop[0]), max(w, self.crop[1])
         return (bucket_dim(h, self.crop[0], self.stride[0]),
                 bucket_dim(w, self.crop[1], self.stride[1]))
+
+    def upload_image(self, image_np: np.ndarray) -> jnp.ndarray:
+        if self._img_dtype == jnp.bfloat16:
+            import ml_dtypes
+            return jnp.asarray(image_np.astype(ml_dtypes.bfloat16))
+        return jnp.asarray(image_np.astype(np.float32, copy=False))
 
     def _forward_impl(self, image):
         emb, _ = self.emb_model.apply(self.emb_vars, image, train=False,
@@ -117,14 +126,15 @@ class SoftmaxInferenceEngine:
                     for bh in bhs:
                         for bw in bws:
                             jax.block_until_ready(self._fused_member(
-                                jnp.zeros((bh, bw, 3), jnp.float32),
+                                jnp.zeros((bh, bw, 3),
+                                          self._img_dtype),
                                 jnp.asarray([bh, bw], jnp.int32),
                                 jnp.asarray([ph, pw], jnp.int32),
                                 jnp.asarray(0, jnp.int32),
                                 member_bucket=(ph, pw)))
                 else:
                     jax.block_until_ready(self._fused_probs(
-                        jnp.zeros((ph, pw, 3), jnp.float32)))
+                        jnp.zeros((ph, pw, 3), self._img_dtype)))
                 warmed.append((ph, pw))
         if device_pyramid:
             from spml_tpu.inference import msc as msc_lib
@@ -178,7 +188,7 @@ class SoftmaxInferenceEngine:
             h, w = image.shape[:2]
             pad = self.bucket_shape(h, w)
             img = transforms.resize_with_pad(image, pad, 0.0)
-            probs = self._fused_probs(jnp.asarray(img))
+            probs = self._fused_probs(self.upload_image(img))
         else:
             logits = self.predict_logits(image, device_out=True)
             probs = jax.nn.softmax(logits, axis=-1)

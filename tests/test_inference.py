@@ -169,6 +169,33 @@ def test_msc_device_pyramid_matches_host():
     np.testing.assert_allclose(device, host, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_predict_and_prototype_match_eager():
+    """The single-program predict_semantic / build_prototypes paths
+    equal the eager-stitched originals (ragged image, multi-patch
+    window)."""
+    eng, cfg = _engine(crop=32, stride=16)
+    rng = np.random.RandomState(8)
+    img = rng.randn(40, 33, 3).astype(np.float32)
+    gt = np.zeros((40, 33), np.int32)
+    gt[20:, :] = 2
+    gt[5, 5] = 255  # some ignore pixels
+
+    pf = eng.build_prototypes(img, gt, return_clusters=True, fused=True)
+    pe = eng.build_prototypes(img, gt, return_clusters=True, fused=False)
+    np.testing.assert_allclose(pf[0], pe[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(pf[1], pe[1])
+    np.testing.assert_array_equal(pf[2], pe[2])
+    np.testing.assert_array_equal(pf[3], pe[3])
+
+    protos, labels, valid = pf[:3]
+    mp = jnp.asarray(np.tile(protos[valid], (20, 1)))
+    ml = jnp.asarray(np.tile(labels[valid], 20))
+    mv = jnp.ones((20 * int(valid.sum()),), bool)
+    pred_f = eng.predict_semantic(img, mp, ml, mv, fused=True)
+    pred_e = eng.predict_semantic(img, mp, ml, mv, fused=False)
+    np.testing.assert_array_equal(pred_f, pred_e)
+
+
 def test_softmax_msc_device_pyramid_matches_host():
     """Same device-pyramid == host-oracle-resize parity for the softmax
     engine (stage-2 classifier inference)."""

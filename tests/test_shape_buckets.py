@@ -46,7 +46,8 @@ def test_three_shapes_one_bucket_no_recompile(eng):
     # image_size 64, crop 32, stride 16 -> buckets {32, 48, 64} per axis
     assert set(warmed) == {(h, w) for h in (32, 48, 64)
                            for w in (32, 48, 64)}
-    n_compiled = eng._cluster_predict._cache_size()
+    n_compiled = eng._fused_predict._cache_size()
+    assert n_compiled == len(warmed)  # one fused program per bucket
 
     rng = np.random.RandomState(0)
     shapes = [(33, 40), (35, 44), (47, 37)]  # all -> bucket (48, 48)
@@ -55,8 +56,7 @@ def test_three_shapes_one_bucket_no_recompile(eng):
         pred = eng.predict_semantic(img, *memory)
         assert pred.shape == (h, w)
     # serving 3 distinct shapes reused the warmed programs
-    assert eng._cluster_predict._cache_size() == n_compiled
-    assert eng._embed_patch._cache_size() == 1
+    assert eng._fused_predict._cache_size() == n_compiled
 
 
 def test_bucket_padding_is_ignored_by_clustering(eng):
