@@ -283,18 +283,19 @@ class InferenceEngine:
         h, w, d = emb.shape
         cfg = self.config
         k_clusters = tuple(cfg.network.kmeans_num_clusters)
-        # fake zero labels -> segments == k-means clusters, so the exact
-        # capacity is the cluster-grid size
+        # fake zero labels -> segments == occupied k-means clusters, so
+        # the capacity is the cluster-grid size and the single-group
+        # fast path applies (skips the sort-based compaction; exact up
+        # to segment relabeling, which everything downstream is
+        # invariant to — kmeans.segment_batch_single_group)
         capacity = int(np.prod(k_clusters))
-        # fake zero sem/inst labels outside: clustering ignores padding
-        segs, emb_flat, _ = kmeans.segment_batch(
+        segs, emb_flat = kmeans.segment_batch_single_group(
             emb[None], jnp.broadcast_to(
                 common.generate_location_features(h, w) - 0.5,
                 (1, h, w, 2)),
-            sem_label[None], inst_label[None],
-            k_clusters, capacity, cfg.network.kmeans_iterations,
-            cfg.dataset.semantic_ignore_index,
-            label_cap=cfg.tpu.label_cap)
+            sem_label[None], k_clusters, cfg.network.kmeans_iterations,
+            cfg.dataset.semantic_ignore_index)
+        del inst_label  # uniform zero under fake labels
         seg_ids = segs.pixel_segment_ids[0]
         pix_valid = segs.pixel_valid[0]
         protos = kmeans.calculate_prototypes_from_labels(

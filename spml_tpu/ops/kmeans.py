@@ -263,6 +263,59 @@ def segment_batch(embeddings: jnp.ndarray,
     return segments, emb_flat, emb_loc
 
 
+def segment_batch_single_group(embeddings: jnp.ndarray,
+                               local_features: jnp.ndarray,
+                               semantic_labels: jnp.ndarray,
+                               num_clusters: tuple[int, int],
+                               iterations: int = 10,
+                               ignore_index: int = 255):
+    """segment_batch specialized for inference's FAKE uniform labels
+    (engine._fake_labels: every valid pixel shares (sem=0, inst=0)).
+
+    With a single label group, the unique (cluster, semantic, instance)
+    triples are exactly the occupied k-means clusters, so the sort-based
+    unique compaction reduces to the identity relabeling. Every
+    downstream consumer (per-segment prototypes, KNN majority vote,
+    per-pixel scatter) is invariant to segment RELABELING, so this is
+    exact — and it skips the [N]-argsort + scatters that dominate the
+    1024-bucket inference member (MSC_PROFILE.json: 42.5 of 47 ms).
+    Equivalence is locked by
+    tests/test_ops_kmeans.py::test_single_group_fast_path.
+
+    Returns (Segments, emb_flat) with capacity == prod(num_clusters);
+    segment ids ARE the k-means cluster indices, and empty clusters
+    appear as invalid segment slots.
+    """
+    b, h, w, d = embeddings.shape
+    k = num_clusters[0] * num_clusters[1]
+    emb = common.normalize_embedding(embeddings.astype(jnp.float32))
+    emb_flat = emb.reshape(b, h * w, d)
+    loc_flat = local_features.astype(jnp.float32).reshape(b, h * w, -1)
+    emb_loc = common.normalize_embedding(
+        jnp.concatenate([emb_flat, loc_flat], axis=-1))
+    grid = initialize_cluster_labels(num_clusters, (h, w)).reshape(-1)
+    sem_flat = semantic_labels.reshape(b, h * w).astype(jnp.int32)
+
+    def one(el, sem):
+        valid = sem != ignore_index
+        wts = valid.astype(jnp.float32)
+        cluster = kmeans_with_initial_labels(el, grid, k, iterations, wts)
+        seg_ids = jnp.where(valid, cluster, 0).astype(jnp.int32)
+        seg_valid = jnp.zeros((k,), bool).at[
+            jnp.where(valid, cluster, k)].set(True, mode="drop")
+        return Segments(
+            pixel_segment_ids=seg_ids,
+            pixel_valid=valid,
+            segment_valid=seg_valid,
+            segment_semantic=jnp.where(seg_valid, 0,
+                                       ignore_index).astype(jnp.int32),
+            segment_instance=jnp.zeros((k,), jnp.int32),
+            segment_cluster=jnp.arange(k, dtype=jnp.int32))
+
+    segs = jax.vmap(one)(emb_loc, sem_flat)
+    return segs, emb_flat
+
+
 def find_majority_label_index(semantic_labels: jnp.ndarray,
                               cluster_labels: jnp.ndarray,
                               num_clusters: int,

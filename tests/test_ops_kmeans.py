@@ -126,3 +126,56 @@ def test_find_majority_label():
     np.testing.assert_array_equal(np.asarray(maj), [0, 1])
     np.testing.assert_array_equal(
         np.asarray(select), [True, True, False, True, True, False])
+
+
+def test_single_group_fast_path():
+    """segment_batch_single_group == segment_batch on fake uniform
+    labels, up to segment relabeling (same pixel partition, same
+    per-segment prototype SET, same validity count)."""
+    rng = np.random.RandomState(11)
+    b, h, w, d = 2, 16, 16, 8
+    emb = rng.randn(b, h, w, d).astype(np.float32)
+    loc = np.broadcast_to(
+        np.asarray(kmeans.common.generate_location_features(h, w) - 0.5),
+        (b, h, w, 2))
+    sem = np.zeros((b, h, w), np.int32)
+    sem[:, :, 13:] = 255  # ignore padding stripe
+    inst = np.zeros((b, h, w), np.int32)
+    k = 9
+
+    segs_f, emb_flat_f = kmeans.segment_batch_single_group(
+        jnp.asarray(emb), jnp.asarray(loc.astype(np.float32)),
+        jnp.asarray(sem), (3, 3), iterations=10)
+    segs_s, emb_flat_s, _ = kmeans.segment_batch(
+        jnp.asarray(emb), jnp.asarray(loc.astype(np.float32)),
+        jnp.asarray(sem), jnp.asarray(inst),
+        num_clusters=(3, 3), capacity=k, iterations=10)
+    np.testing.assert_allclose(np.asarray(emb_flat_f),
+                               np.asarray(emb_flat_s), rtol=1e-6)
+
+    for i in range(b):
+        vf = np.asarray(segs_f.pixel_valid[i])
+        vs = np.asarray(segs_s.pixel_valid[i])
+        np.testing.assert_array_equal(vf, vs)
+        idf = np.asarray(segs_f.pixel_segment_ids[i])[vf]
+        ids = np.asarray(segs_s.pixel_segment_ids[i])[vs]
+        # same partition: canonical first-occurrence relabeling agrees
+        _, canon_f = np.unique(idf, return_inverse=True)
+        _, canon_s = np.unique(ids, return_inverse=True)
+        # np.unique sorts keys; both paths keep ascending-cluster order,
+        # so the canonical inverse labels must match exactly
+        np.testing.assert_array_equal(canon_f, canon_s)
+        assert (np.asarray(segs_f.segment_valid[i]).sum()
+                == np.asarray(segs_s.segment_valid[i]).sum())
+        # per-segment prototype sets agree (sorted row-wise)
+        pf = np.asarray(kmeans.calculate_prototypes_from_labels(
+            emb_flat_f[i], segs_f.pixel_segment_ids[i], k,
+            segs_f.pixel_valid[i].astype(np.float32)))
+        ps = np.asarray(kmeans.calculate_prototypes_from_labels(
+            emb_flat_s[i], segs_s.pixel_segment_ids[i], k,
+            segs_s.pixel_valid[i].astype(np.float32)))
+        pf = pf[np.asarray(segs_f.segment_valid[i])]
+        ps = ps[np.asarray(segs_s.segment_valid[i])]
+        np.testing.assert_allclose(
+            pf[np.lexsort(pf.T)], ps[np.lexsort(ps.T)],
+            rtol=1e-5, atol=1e-6)
