@@ -128,6 +128,19 @@ def main():
             timeit(kmeans_step, jnp.zeros(()), emb_map, sem, inst, loc), 1)
         print(f"kmeans_{hb}_ms", results[f"kmeans_{hb}_ms"], flush=True)
 
+        @jax.jit
+        def kmeans_fast_step(carry, emb_map, sem, loc):
+            segs, _ = kmeans.segment_batch_single_group(
+                emb_map[None] + carry * 1e-30, loc, sem[None],
+                (12, 12), 10, 255)
+            return (jnp.sum(segs.pixel_segment_ids)
+                    .astype(jnp.float32) * 1e-20 + carry * 0.0)
+
+        results[f"kmeans_fast_{hb}_ms"] = round(
+            timeit(kmeans_fast_step, jnp.zeros(()), emb_map, sem, loc), 1)
+        print(f"kmeans_fast_{hb}_ms", results[f"kmeans_fast_{hb}_ms"],
+              flush=True)
+
         # resize/accumulate (one member into the base bucket)
         probs = jnp.zeros((hb, hb, 21), jnp.float32)
         acc0 = jnp.zeros((512, 512, 21), jnp.float32)

@@ -299,7 +299,11 @@ def segment_batch_single_group(embeddings: jnp.ndarray,
     def one(el, sem):
         valid = sem != ignore_index
         wts = valid.astype(jnp.float32)
-        cluster = kmeans_with_initial_labels(el, grid, k, iterations, wts)
+        # the XLA E/M formulation is kept deliberately: a fused Pallas
+        # E+M sweep measured 4x SLOWER (cross-lane argmax; XLA already
+        # fuses the one-hot into the matmul — PERF.md negative result)
+        cluster = kmeans_with_initial_labels(el, grid, k, iterations,
+                                             wts)
         seg_ids = jnp.where(valid, cluster, 0).astype(jnp.int32)
         seg_valid = jnp.zeros((k,), bool).at[
             jnp.where(valid, cluster, k)].set(True, mode="drop")
@@ -312,7 +316,10 @@ def segment_batch_single_group(embeddings: jnp.ndarray,
             segment_instance=jnp.zeros((k,), jnp.int32),
             segment_cluster=jnp.arange(k, dtype=jnp.int32))
 
-    segs = jax.vmap(one)(emb_loc, sem_flat)
+    # inference batches are size 1; a static loop avoids vmapping the
+    # Pallas call
+    per_image = [one(emb_loc[i], sem_flat[i]) for i in range(b)]
+    segs = jax.tree.map(lambda *xs: jnp.stack(xs), *per_image)
     return segs, emb_flat
 
 
