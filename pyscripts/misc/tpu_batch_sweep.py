@@ -21,7 +21,7 @@ ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
 sys.path.insert(0, ROOT)
 
 
-def run_one(batch, crop, fused, trace_dir=None, iters=10):
+def run_one(batch, crop, fused, trace_dir=None, iters=10, blobby=False):
     import jax
     import jax.numpy as jnp
 
@@ -50,14 +50,25 @@ def run_one(batch, crop, fused, trace_dir=None, iters=10):
 
     mesh = mesh_lib.make_mesh(num_devices=1)
     rng = np.random.RandomState(0)
-    data = {
-        "image": jnp.asarray(rng.randn(batch, crop, crop, 3), jnp.float32),
-        "semantic_label": jnp.asarray(
-            rng.randint(0, 21, (batch, crop, crop)), jnp.int32),
-        "instance_label": jnp.asarray(
-            rng.randint(0, 64, (batch, crop, crop)), jnp.int32),
-        "semantic_tag": jnp.asarray(rng.rand(batch, 256) > 0.8, jnp.int32),
-    }
+    if blobby:
+        # the bench.py default distribution (~17% prototype fill) where
+        # valid-prototype compaction shrinks the loss sweep
+        import pyscripts.misc.lockstep_parity as lp
+        lp.SCEN.update(batch=batch, crop=crop, num_classes=21,
+                       ignore=255)
+        b = lp.make_batches(1)[0]
+        data = {k: jnp.asarray(v) for k, v in b.items()}
+    else:
+        data = {
+            "image": jnp.asarray(rng.randn(batch, crop, crop, 3),
+                                 jnp.float32),
+            "semantic_label": jnp.asarray(
+                rng.randint(0, 21, (batch, crop, crop)), jnp.int32),
+            "instance_label": jnp.asarray(
+                rng.randint(0, 64, (batch, crop, crop)), jnp.int32),
+            "semantic_tag": jnp.asarray(rng.rand(batch, 256) > 0.8,
+                                        jnp.int32),
+        }
 
     state = step_lib.init_state(cfg, jax.random.PRNGKey(0),
                                 jnp.zeros((batch, crop, crop, 3)))
@@ -97,13 +108,16 @@ def main():
     ap.add_argument("--trace", default=None,
                     help="capture profiler trace for the LAST batch")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--blobby", action="store_true",
+                    help="bench.py's ~17%%-fill label distribution")
     args = ap.parse_args()
 
     batches = [int(b) for b in args.batches.split(",")]
     results = []
     for i, b in enumerate(batches):
         trace = args.trace if i == len(batches) - 1 else None
-        r = run_one(b, args.crop, not args.no_fused, trace, args.iters)
+        r = run_one(b, args.crop, not args.no_fused, trace, args.iters,
+                    blobby=args.blobby)
         results.append(r)
         print(json.dumps(r), flush=True)
     best = max(results, key=lambda r: r["imgs_per_sec"])
