@@ -123,6 +123,12 @@ class TpuConfig:
     # JAX persistent compilation cache directory ('' disables); warmup
     # compiles are then paid once per machine, not per process
     compilation_cache_dir: str = "~/.cache/spml_tpu_xla"
+    # compute the top-5 prototype retrieval accuracy metric only on
+    # steps where it is actually logged (state.step % tensorboard_step
+    # == 0). The reference computes it every step but only logs it every
+    # tensorboard_step (train.py:222-258), so the observable behavior is
+    # identical; skipping it saves ~6.7 ms/step at flagship scale.
+    lazy_metrics: bool = True
 
 
 @dataclass

@@ -411,8 +411,22 @@ def make_train_step(config, emb_model=None, cls_model=None):
             total = total + aff
 
         # ---- top-5 prototype retrieval accuracy ----
-        acc, _ = knn.top_k_ranking(all_protos, all_sem, all_protos,
-                                   all_sem, 5, all_valid, all_valid)
+        # costs ~6.7 ms/step at flagship scale (5.5% of the step). The
+        # reference computes it every step but only LOGS it every
+        # tensorboard_step (train.py:222-258), so computing it exactly
+        # on the logged steps is observably identical; train_step sets
+        # batch["compute_metrics"] accordingly (tpu.lazy_metrics).
+        def _acc(_):
+            a, _r = knn.top_k_ranking(all_protos, all_sem, all_protos,
+                                      all_sem, 5, all_valid, all_valid)
+            return a
+        flag = batch.get("compute_metrics", None)
+        if flag is None or not config.tpu.lazy_metrics:
+            acc = _acc(None)
+        else:
+            acc = jax.lax.cond(flag, _acc,
+                               lambda _: jnp.zeros((), jnp.float32),
+                               None)
         metrics["accuracy"] = jax.lax.stop_gradient(acc)
         metrics["num_segments"] = jnp.sum(proto_valid.astype(jnp.int32))
 
@@ -422,7 +436,9 @@ def make_train_step(config, emb_model=None, cls_model=None):
 
     def train_step(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, step_rng = jax.random.split(state.rng)
-        batch = dict(batch, memory=state.memory)
+        batch = dict(batch, memory=state.memory,
+                     compute_metrics=(
+                         state.step % tcfg.tensorboard_step == 0))
         grad_fn = jax.value_and_grad(forward_and_losses, has_aux=True)
         (total, (metrics, new_stats, cur)), grads = grad_fn(
             state.params, state.batch_stats, batch, step_rng)
