@@ -118,27 +118,13 @@ def _resize_accumulate(acc, probs, in_hw, out_hw, out_bucket, flip):
     return acc + res
 
 
-def msc_predict_probs_device(engine, image: np.ndarray, member_args,
-                             scales, is_flip: bool = True,
-                             transfer_dtype=np.float16) -> np.ndarray:
-    """MSC average with the ENTIRE pyramid on device: the base image is
-    uploaded ONCE and each member's scale-resize + flip happens inside
-    the member's fused program (engine.predict_member_probs), so the
-    only transfers per image are one ~3 MB base upload and one
-    probability download. Over the tunneled chip (measured ~20-30 MB/s)
-    the per-member host resize + upload of msc_predict_probs_bucketed
-    (~22 MB/image at 512) WAS the steady-state latency.
-
-    Works with any engine exposing bucket_shape(h, w) and
-    predict_member_probs(base_dev, base_hw, member_hw, flip,
-    *member_args) — the KNN InferenceEngine (member_args = the memory
-    bank triple) and the SoftmaxInferenceEngine (member_args = ()).
-
-    transfer_dtype: dtype of the downloaded accumulated probs. The
-    top-20 one-hot means are quantized at 1/20 per member, so float16
-    (resolution ~5e-4) is lossless in practice and halves the download;
-    pass np.float32 for bit-exact parity runs.
-    """
+def _msc_accumulate_device(engine, image: np.ndarray, member_args,
+                           scales, is_flip: bool):
+    """Shared device pyramid loop: upload the base image ONCE, run each
+    (scale, flip) member's fused program, resize/un-flip/accumulate the
+    probs at the base bucket, all on device. Returns (acc, n, base_b)
+    with acc a DEVICE [Hb, Wb, C] float32 sum over n members, valid in
+    [:h, :w]."""
     h, w = image.shape[:2]
     base_b = engine.bucket_shape(h, w)
     base = transforms.resize_with_pad(image, base_b, 0.0)
@@ -161,8 +147,85 @@ def msc_predict_probs_device(engine, image: np.ndarray, member_args,
             acc = _resize_accumulate(acc, probs, in_hw, out_hw,
                                      out_bucket=base_b, flip=bool(f))
             n += 1
+    return acc, n, base_b
+
+
+def msc_predict_probs_device(engine, image: np.ndarray, member_args,
+                             scales, is_flip: bool = True,
+                             transfer_dtype=np.float16) -> np.ndarray:
+    """MSC average with the ENTIRE pyramid on device: the base image is
+    uploaded ONCE and each member's scale-resize + flip happens inside
+    the member's fused program (engine.predict_member_probs), so the
+    only transfers per image are one ~3 MB base upload and one
+    probability download. Over the tunneled chip (measured ~20-30 MB/s)
+    the per-member host resize + upload of msc_predict_probs_bucketed
+    (~22 MB/image at 512) WAS the steady-state latency.
+
+    Works with any engine exposing bucket_shape(h, w) and
+    predict_member_probs(base_dev, base_hw, member_hw, flip,
+    *member_args) — the KNN InferenceEngine (member_args = the memory
+    bank triple) and the SoftmaxInferenceEngine (member_args = ()).
+
+    transfer_dtype: dtype of the downloaded accumulated probs. The
+    top-20 one-hot means are quantized at 1/20 per member, so float16
+    (resolution ~5e-4) is lossless in practice and halves the download;
+    pass np.float32 for bit-exact parity runs.
+    """
+    h, w = image.shape[:2]
+    acc, n, _ = _msc_accumulate_device(engine, image, member_args,
+                                       scales, is_flip)
     return np.asarray(acc.astype(transfer_dtype))[:h, :w] \
         .astype(np.float32) / n
+
+
+@functools.partial(jax.jit, static_argnames=("final_bucket",))
+def _resize_argmax(acc, in_hw, final_hw, final_bucket):
+    """argmax(bilinear_resize(acc[:in_h, :in_w], (final_h, final_w)))
+    as uint8 at a static final bucket. Same bilinear kernel as
+    _resize_accumulate (== cv2.INTER_LINEAR == the reference's prob
+    resize, inference_msc.py:230-231); the reference argmaxes AFTER
+    averaging+resizing (inference_msc.py:238-242), which this preserves
+    — a positive divisor (the member count) never changes an argmax,
+    so the un-normalized sum is argmaxed directly."""
+    in_h = in_hw[0].astype(jnp.float32)
+    in_w = in_hw[1].astype(jnp.float32)
+    f_h = final_hw[0].astype(jnp.float32)
+    f_w = final_hw[1].astype(jnp.float32)
+    wr = bilinear_resize_weights(final_bucket[0], acc.shape[0], f_h,
+                                 in_h, False)
+    wc = bilinear_resize_weights(final_bucket[1], acc.shape[1], f_w,
+                                 in_w, False)
+    tmp = jnp.einsum("oi,iwc->owc", wr, acc,
+                     preferred_element_type=jnp.float32)
+    res = jnp.einsum("pw,owc->opc", wc, tmp,
+                     preferred_element_type=jnp.float32)
+    return jnp.argmax(res, axis=-1).astype(jnp.uint8)
+
+
+def msc_predict_labels_device(engine, image: np.ndarray, member_args,
+                              scales, is_flip: bool = True,
+                              final_hw=None) -> np.ndarray:
+    """MSC prediction finished ON DEVICE: accumulate the pyramid probs
+    at the base bucket, bilinear-resize to final_hw (default: the
+    image's own size) and argmax INSIDE one last bucketed program, and
+    download only the uint8 label map — ~1 byte/pixel instead of the
+    C-channel float16 probs (42x less at 21 classes; over the ~20-30
+    MB/s tunnel the prob download was the dominant steady-state MSC
+    cost). For non-CRF MSC paths this is observably identical to
+    downloading probs, host-resizing, and argmaxing, because the
+    reference's own order is average -> resize -> argmax
+    (inference_msc.py:228-242) and a positive divisor never changes an
+    argmax. CRF paths need the real probs; use msc_predict_probs_device
+    there."""
+    h, w = image.shape[:2]
+    fh, fw = final_hw if final_hw is not None else (h, w)
+    acc, _, _ = _msc_accumulate_device(engine, image, member_args,
+                                       scales, is_flip)
+    final_b = engine.bucket_shape(fh, fw)
+    pred = _resize_argmax(acc, jnp.asarray([h, w], jnp.int32),
+                          jnp.asarray([fh, fw], jnp.int32),
+                          final_bucket=final_b)
+    return np.asarray(pred)[:fh, :fw]
 
 
 def msc_predict_probs_bucketed(predict_bucket_fn, image: np.ndarray,

@@ -150,7 +150,15 @@ def run_knn_inference(args, config, msc=False, crf=False,
             config, args.data_dir, args.data_list):
         oh, ow = image0.shape[:2]
         image, _, _ = _maybe_resize_input(config, image0)
-        if msc or crf:
+        if msc and not crf:
+            # finish on device: resize-to-original + argmax inside one
+            # bucketed program, download 1 byte/px instead of C-channel
+            # fp16 probs (the dominant tunnel cost; see
+            # msc.msc_predict_labels_device)
+            pred = msc_lib.msc_predict_labels_device(
+                eng, image, memory, scales=scales, is_flip=True,
+                final_hw=(oh, ow))
+        elif msc or crf:
             if msc:
                 probs = msc_lib.msc_predict_probs_device(
                     eng, image, memory, scales=scales, is_flip=True)
@@ -184,17 +192,22 @@ def run_softmax_inference(args, config, msc=False, crf=False,
             config, args.data_dir, args.data_list):
         oh, ow = image0.shape[:2]
         image, _, _ = _maybe_resize_input(config, image0)
-        if msc:
-            probs = msc_lib.msc_predict_probs_device(
-                eng, image, (), scales=scales, is_flip=True)
+        if msc and postprocessor is None:
+            pred = msc_lib.msc_predict_labels_device(
+                eng, image, (), scales=scales, is_flip=True,
+                final_hw=(oh, ow))
         else:
-            probs = eng.predict_probs(image)
-        probs = transforms._resize_image(probs, oh, ow)
-        if postprocessor is not None:
-            rgb = cli.denormalize_image(image0, config)
-            probs = postprocessor(rgb, probs.transpose(2, 0, 1))
-            probs = probs.transpose(1, 2, 0)
-        pred = probs.argmax(-1).astype(np.uint8)
+            if msc:
+                probs = msc_lib.msc_predict_probs_device(
+                    eng, image, (), scales=scales, is_flip=True)
+            else:
+                probs = eng.predict_probs(image)
+            probs = transforms._resize_image(probs, oh, ow)
+            if postprocessor is not None:
+                rgb = cli.denormalize_image(image0, config)
+                probs = postprocessor(rgb, probs.transpose(2, 0, 1))
+                probs = probs.transpose(1, 2, 0)
+            pred = probs.argmax(-1).astype(np.uint8)
         cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
         print(f"softmax inference {base}", flush=True)
 

@@ -82,6 +82,49 @@ def test_prototype_then_inference_then_benchmark(tiny_world):
     assert result["pixel_accuracy"] > 0.5
 
 
+def test_knn_inference_msc_device_labels(tiny_world):
+    """The MSC non-CRF path (device resize+argmax, uint8 download)
+    through the full CLI driver: correct shapes, labels in range, and
+    accuracy comparable to the single-scale path."""
+    args, cfg = tiny_world
+    runner.run_prototype(args, cfg)
+    args.semantic_memory_dir = os.path.join(args.save_dir,
+                                            "semantic_prototype")
+    import shutil
+    proto_dir = args.semantic_memory_dir
+    for f in list(os.listdir(proto_dir)):
+        for k in range(9):
+            shutil.copy(os.path.join(proto_dir, f),
+                        os.path.join(proto_dir, f"{k}_{f}"))
+    args.save_dir = args.save_dir + "_msc"
+    scales = (0.75, 1.0, 1.25)
+    runner.run_knn_inference(args, cfg, msc=True, scales=scales)
+    gray = os.path.join(args.save_dir, "semantic_gray")
+    assert len(os.listdir(gray)) == 3
+    pred = np.array(PIL.Image.open(os.path.join(gray, "im0.png")))
+    assert pred.shape == (48, 64)
+    assert pred.max() < 4
+
+    # contract: the uint8 device download == downloading the probs and
+    # argmaxing on host (MSC accuracy itself is noisy on a random-init
+    # tiny model, so equality — not an accuracy bar — is the assertion)
+    import spml_tpu.cli as cli_mod
+    from spml_tpu.inference import engine as engine_lib
+    from spml_tpu.inference import msc as msc_lib
+    eng = engine_lib.InferenceEngine(
+        cfg, *cli_mod.build_eval_models(cfg, args.snapshot_dir))
+    memory = runner._load_memory(args, cfg)
+    for _, base, image, _, _ in cli_mod.iterate_test_images(
+            cfg, args.data_dir, args.data_list):
+        probs = msc_lib.msc_predict_probs_device(
+            eng, image, memory, scales=scales, is_flip=True,
+            transfer_dtype=np.float32)
+        expect = probs.argmax(-1).astype(np.uint8)
+        got = np.array(PIL.Image.open(os.path.join(gray, base)))
+        np.testing.assert_array_equal(got, expect)
+        break
+
+
 def test_knn_inference_with_crf(tiny_world):
     args, cfg = tiny_world
     runner.run_prototype(args, cfg)

@@ -169,6 +169,62 @@ def test_msc_device_pyramid_matches_host():
     np.testing.assert_allclose(device, host, rtol=1e-4, atol=1e-5)
 
 
+def test_msc_device_labels_match_probs_path():
+    """msc_predict_labels_device (resize-to-final + argmax on device,
+    uint8 download) == downloading the fp32 probs, resizing to the final
+    size with the same bilinear kernel, and argmaxing on host — the
+    non-CRF MSC path's exactness contract."""
+    eng, cfg = _engine(crop=32, stride=32)
+    rng = np.random.RandomState(7)
+    img = rng.randn(30, 32, 3).astype(np.float32)
+    gt = np.zeros((30, 32), np.int32)
+    gt[10:, 5:] = 2
+    protos, labels, valid = eng.build_prototypes(img, gt)
+    mp = jnp.asarray(np.tile(protos[valid], (20, 1)))
+    ml = jnp.asarray(np.tile(labels[valid], 20))
+    mv = jnp.ones((20 * int(valid.sum()),), bool)
+    memory = (mp, ml, mv)
+    scales = [0.75, 1.0]
+
+    for final_hw in [(30, 32), (45, 57)]:
+        probs = msc_lib.msc_predict_probs_device(
+            eng, img, memory, scales=scales, is_flip=True,
+            transfer_dtype=np.float32)
+        acc = jnp.asarray(probs)
+        fb = eng.bucket_shape(*final_hw)
+        resized = msc_lib._resize_argmax(
+            acc, jnp.asarray(probs.shape[:2], jnp.int32),
+            jnp.asarray(final_hw, jnp.int32), final_bucket=fb)
+        expect = np.asarray(resized)[:final_hw[0], :final_hw[1]]
+        got = msc_lib.msc_predict_labels_device(
+            eng, img, memory, scales=scales, is_flip=True,
+            final_hw=final_hw)
+        assert got.shape == final_hw and got.dtype == np.uint8
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_resize_argmax_oracle():
+    """_resize_argmax == numpy bilinear resize (half-pixel centers,
+    edge clamp) + argmax, including the identity-size case."""
+    rng = np.random.RandomState(8)
+    acc = rng.rand(16, 20, 5).astype(np.float32)
+
+    def w_axis(n_out, n_in):
+        src = np.clip((np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5,
+                      0, n_in - 1)
+        y = np.arange(n_in)
+        return np.maximum(0.0, 1.0 - np.abs(src[:, None] - y[None, :]))
+
+    for fh, fw in [(16, 20), (31, 9)]:
+        wr = w_axis(fh, 16).astype(np.float32)
+        wc = w_axis(fw, 20).astype(np.float32)
+        expect = np.einsum("oi,iwc,pw->opc", wr, acc, wc).argmax(-1)
+        got = msc_lib._resize_argmax(
+            jnp.asarray(acc), jnp.asarray([16, 20], jnp.int32),
+            jnp.asarray([fh, fw], jnp.int32), final_bucket=(fh, fw))
+        np.testing.assert_array_equal(np.asarray(got), expect)
+
+
 def test_fused_predict_and_prototype_match_eager():
     """The single-program predict_semantic / build_prototypes paths
     equal the eager-stitched originals (ragged image, multi-patch
