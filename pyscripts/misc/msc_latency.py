@@ -91,11 +91,31 @@ def main():
             times.append(dt)
             print(f"{phase} image {i} {h}x{w}: {dt:.2f}s", flush=True)
 
+    # non-CRF path: device resize+argmax, uint8 label download
+    # (msc_predict_labels_device) — the prob download above is the
+    # dominant steady-state cost over the ~20-30 MB/s tunnel
+    lab_first, lab_repeat = [], []
+    for phase, times in (("lab_first", lab_first),
+                         ("lab_repeat", lab_repeat)):
+        for i, (h, w) in enumerate(sizes):
+            img = rng.randn(h, w, 3).astype(np.float32)
+            t0 = time.time()
+            pred = msc_lib.msc_predict_labels_device(
+                eng, img, memory, scales=scales, is_flip=True)
+            dt = time.time() - t0
+            assert pred.shape == (h, w) and pred.dtype == np.uint8
+            times.append(dt)
+            print(f"{phase} image {i} {h}x{w}: {dt:.2f}s", flush=True)
+
     out = {"image_size": size, "scales": scales,
            "pyramid_members": 2 * len(scales),
            "warmup_buckets": len(warmed), "warmup_s": round(warmup_s, 1),
            "first_pass_median_s": round(float(np.median(first)), 2),
-           "steady_state_median_s": round(float(np.median(repeat)), 2)}
+           "steady_state_median_s": round(float(np.median(repeat)), 2),
+           "labels_first_pass_median_s":
+               round(float(np.median(lab_first)), 2),
+           "labels_steady_state_median_s":
+               round(float(np.median(lab_repeat)), 2)}
     print(json.dumps(out))
     with open(os.path.join(ROOT, "MSC_LATENCY.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -123,6 +123,11 @@ class TpuConfig:
     # JAX persistent compilation cache directory ('' disables); warmup
     # compiles are then paid once per machine, not per process
     compilation_cache_dir: str = "~/.cache/spml_tpu_xla"
+    # training feed: upload labels as uint8 (PNG 'L'-mode values; the
+    # step widens to int32 on device) and images in the compute dtype
+    # (bf16 convs cast on entry anyway) — 4x fewer host->device bytes
+    # per step, exact (tests/test_train_step.py::test_compact_feed_exact)
+    compact_feed: bool = True
     # compute the top-5 prototype retrieval accuracy metric only on
     # steps where it is actually logged (state.step % tensorboard_step
     # == 0). The reference computes it every step but only logs it every

@@ -68,7 +68,8 @@ def make_classifier_train_step(config, emb_model, emb_vars,
             rngs={"dropout": rng})
         logits_up = resize_bilinear(logits,
                                     (images.shape[1], images.shape[2]))
-        labels = batch["semantic_label"]
+        # compact feed may deliver uint8 labels (driver._to_train_batch)
+        labels = batch["semantic_label"].astype(jnp.int32)
         ce = _cross_entropy(logits_up, labels, C, ignore)
         pred = jnp.argmax(logits_up, axis=-1)
         valid = labels < C

@@ -79,9 +79,10 @@ def _log_images(writer, config, emb_model, state, batch, step):
         emb_rgb = vis.embedding_to_rgb(np.asarray(emb))
         cmap = vis.load_color_map(config.dataset.color_map_path)
         sem_rgb = vis.label_to_color(
-            np.asarray(batch["semantic_label"][:2]), cmap)
+            np.asarray(batch["semantic_label"][:2], np.int32), cmap)
         inst_rgb = vis.label_to_color(
-            np.asarray(batch["instance_label"][:2]) % 256, cmap)
+            np.asarray(batch["instance_label"][:2], np.int32) % 256,
+            cmap)
         for i in range(emb_rgb.shape[0]):
             writer.add_image(f"embedding_pca/{i}", emb_rgb[i],
                              step, dataformats="HWC")
@@ -134,8 +135,8 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
 
     t0 = time.time()
     for it in range(start, config.train.max_iteration):
-        batch = mesh_lib.device_put_batch(_to_train_batch(next(loader)),
-                                          mesh)
+        batch = mesh_lib.device_put_batch(
+            _to_train_batch(next(loader), config), mesh)
         state, metrics = train_step(state, batch)
         if it % config.train.tensorboard_step == 0:
             jax.block_until_ready(metrics)
@@ -158,13 +159,24 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
     return state
 
 
-def _to_train_batch(batch):
+def _to_train_batch(batch, config=None):
     out = {"image": batch["image"],
            "semantic_label": batch["semantic_label"],
            "instance_label": batch["instance_label"]}
     out["semantic_tag"] = batch.get(
         "semantic_tag",
         np.zeros((batch["image"].shape[0], 256), np.int32))
+    if config is not None and config.tpu.compact_feed:
+        # quarter the host->device bytes: labels are uint8-valued (PNG
+        # 'L' mode; pad value 255 == the ignore index) and bf16 convs
+        # cast the image on entry anyway, so both casts are exact
+        # (locked by tests/test_train_step.py::test_compact_feed_exact)
+        out["semantic_label"] = out["semantic_label"].astype(np.uint8)
+        out["instance_label"] = out["instance_label"].astype(np.uint8)
+        out["semantic_tag"] = out["semantic_tag"].astype(np.uint8)
+        if config.tpu.compute_dtype == "bfloat16":
+            import ml_dtypes
+            out["image"] = out["image"].astype(ml_dtypes.bfloat16)
     return out
 
 
@@ -241,8 +253,8 @@ def train_classifier(args, config,
 
     t0 = time.time()
     for it in range(start, config.train.max_iteration):
-        batch = mesh_lib.device_put_batch(_to_train_batch(next(loader)),
-                                          mesh)
+        batch = mesh_lib.device_put_batch(
+            _to_train_batch(next(loader), config), mesh)
         state, metrics = train_step(state, batch)
         if it % config.train.tensorboard_step == 0:
             jax.block_until_ready(metrics)

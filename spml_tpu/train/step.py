@@ -154,6 +154,15 @@ def make_train_step(config, emb_model=None, cls_model=None):
     schedule = optim.make_schedule(tcfg)
 
     def forward_and_losses(params, batch_stats, batch, rng):
+        # the compact feed (driver.py::_to_train_batch) uploads labels
+        # as uint8 and images in the compute dtype to quarter the
+        # host->device bytes; widen labels to int32 here (no-op when a
+        # caller feeds int32 directly) so downstream label packing
+        # (sem * label_cap + inst) can't overflow
+        batch = dict(batch, **{
+            k: batch[k].astype(jnp.int32)
+            for k in ("semantic_label", "instance_label", "semantic_tag")
+            if k in batch})
         images = batch["image"]
         B = images.shape[0]
 

@@ -212,3 +212,48 @@ def test_softmax_classifier_prediction_mode():
         state.params["embedding"]["resnet_backbone"]["res3"])
     assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
                for a, b in zip(r3_0, r3_1))
+
+
+def test_compact_feed_exact():
+    """The compact feed (uint8 labels + compute-dtype image,
+    driver._to_train_batch) produces the SAME step as the wide
+    int32/float32 feed: uint8 holds every PNG 'L'-mode label value
+    exactly, and with bf16 convs the model casts a float32 image to
+    bf16 at the first conv anyway — so casting at the host boundary is
+    the identical rounding, just 4x fewer transferred bytes."""
+    import ml_dtypes
+
+    from spml_tpu.train.driver import _to_train_batch
+
+    cfg = _tiny_config()
+    cfg.tpu.compute_dtype = "bfloat16"
+    cfg.tpu.compact_feed = True
+    rng = np.random.RandomState(11)
+    b, crop = 2, 32
+    img = jnp.zeros((b, crop, crop, 3))
+    state0 = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    step = jax.jit(step_lib.make_train_step(cfg))
+
+    wide = {
+        "image": rng.randn(b, crop, crop, 3).astype(np.float32),
+        "semantic_label": rng.randint(
+            0, 5, (b, crop, crop)).astype(np.int32),
+        "instance_label": rng.randint(
+            0, 4, (b, crop, crop)).astype(np.int32),
+        "semantic_tag": (rng.rand(b, 256) > 0.6).astype(np.int32),
+    }
+    compact = _to_train_batch(wide, cfg)
+    assert compact["semantic_label"].dtype == np.uint8
+    assert compact["image"].dtype == ml_dtypes.bfloat16
+
+    s_wide, m_wide = step(state0, {k: jnp.asarray(v)
+                                   for k, v in wide.items()})
+    state0b = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    s_cpt, m_cpt = step(state0b, {k: jnp.asarray(v)
+                                  for k, v in compact.items()})
+    for k in m_wide:
+        np.testing.assert_array_equal(np.asarray(m_wide[k]),
+                                      np.asarray(m_cpt[k]), err_msg=k)
+    for a, b_ in zip(jax.tree.leaves(s_wide.params),
+                     jax.tree.leaves(s_cpt.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
