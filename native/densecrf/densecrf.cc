@@ -45,18 +45,8 @@ void BuildNorm(Kernel* k, int n) {
 
 void FilterSymmetric(const Kernel& k, const float* in, float* out, int n,
                      int c) {
-  std::vector<float> tmp(static_cast<std::size_t>(n) * c);
-  for (int i = 0; i < n; ++i) {
-    const float s = k.inv_sqrt_norm[i];
-    for (int j = 0; j < c; ++j)
-      tmp[static_cast<std::size_t>(i) * c + j] =
-          in[static_cast<std::size_t>(i) * c + j] * s;
-  }
-  k.lattice.Compute(tmp.data(), out, c);
-  for (int i = 0; i < n; ++i) {
-    const float s = k.inv_sqrt_norm[i];
-    for (int j = 0; j < c; ++j) out[static_cast<std::size_t>(i) * c + j] *= s;
-  }
+  // symmetric normalization s_i K s_j folded into splat/slice weights
+  k.lattice.Compute(in, out, c, k.inv_sqrt_norm.data());
 }
 
 void ExpAndNormalize(const float* in, float* q, int n, int c) {

@@ -3,18 +3,77 @@
 #include <algorithm>
 #include <cmath>
 #include <cstring>
-#include <unordered_map>
 
 namespace spml {
 namespace {
 
-// Hash for short lattice-coordinate keys.
-struct KeyHash {
-  std::size_t operator()(const std::vector<int16_t>& k) const {
-    std::size_t h = 0;
-    for (int16_t v : k) h = h * 2531011u + static_cast<uint16_t>(v);
+// Flat open-addressing hash table over short int16 lattice keys.
+// Capacity is a power of two; linear probing; keys live contiguously in
+// one array (no per-entry allocation, no pointer chasing).
+class KeyTable {
+ public:
+  KeyTable(std::size_t expected, int d) : d_(d) {
+    capacity_ = 16;
+    while (capacity_ < expected * 2) capacity_ <<= 1;
+    mask_ = capacity_ - 1;
+    values_.assign(capacity_, -1);
+    keys_.resize(capacity_ * d);
+  }
+
+  static std::size_t Hash(const int16_t* k, int d) {
+    std::size_t h = 0xcbf29ce484222325ull;
+    for (int i = 0; i < d; ++i) {
+      h ^= static_cast<uint16_t>(k[i]);
+      h *= 0x100000001b3ull;
+    }
     return h;
   }
+
+  // Returns the index of `key`, inserting it with index `size()` if new.
+  int32_t FindOrInsert(const int16_t* key) {
+    std::size_t slot = Hash(key, d_) & mask_;
+    for (;;) {
+      int32_t v = values_[slot];
+      if (v < 0) {
+        values_[slot] = size_;
+        std::memcpy(keys_.data() + slot * d_, key,
+                    static_cast<std::size_t>(d_) * sizeof(int16_t));
+        slots_.push_back(slot);
+        return size_++;
+      }
+      if (std::memcmp(keys_.data() + slot * d_, key,
+                      static_cast<std::size_t>(d_) * sizeof(int16_t)) == 0)
+        return v;
+      slot = (slot + 1) & mask_;
+    }
+  }
+
+  // Find-only; returns -1 when absent.
+  int32_t Find(const int16_t* key) const {
+    std::size_t slot = Hash(key, d_) & mask_;
+    for (;;) {
+      int32_t v = values_[slot];
+      if (v < 0) return -1;
+      if (std::memcmp(keys_.data() + slot * d_, key,
+                      static_cast<std::size_t>(d_) * sizeof(int16_t)) == 0)
+        return v;
+      slot = (slot + 1) & mask_;
+    }
+  }
+
+  int32_t size() const { return size_; }
+  // Key of the entry inserted i-th (iteration in index order).
+  const int16_t* KeyOf(int32_t i) const {
+    return keys_.data() + slots_[i] * d_;
+  }
+
+ private:
+  int d_;
+  std::size_t capacity_ = 0, mask_ = 0;
+  int32_t size_ = 0;
+  std::vector<int32_t> values_;   // [capacity] -> entry index or -1
+  std::vector<int16_t> keys_;     // [capacity, d]
+  std::vector<std::size_t> slots_;  // entry index -> slot (for KeyOf)
 };
 
 }  // namespace
@@ -31,8 +90,7 @@ void Permutohedral::Init(const float* features, int n, int d) {
   for (int i = 0; i < d; ++i)
     scale[i] = inv_std / std::sqrt(float(i + 1) * (i + 2));
 
-  std::unordered_map<std::vector<int16_t>, int32_t, KeyHash> table;
-  table.reserve(static_cast<std::size_t>(n) * 2);
+  KeyTable table(static_cast<std::size_t>(n) * (d + 1), d);
 
   std::vector<float> elevated(d + 1);
   std::vector<int> rem0(d + 1), rank(d + 1);
@@ -100,61 +158,53 @@ void Permutohedral::Init(const float* features, int n, int d) {
         coord += static_cast<int16_t>(rank[i] <= d - r ? r : r - (d + 1));
         key[i] = coord;
       }
-      auto it = table.find(key);
-      int32_t idx;
-      if (it == table.end()) {
-        idx = static_cast<int32_t>(table.size());
-        table.emplace(key, idx);
-      } else {
-        idx = it->second;
-      }
-      offsets_[static_cast<std::size_t>(p) * (d + 1) + r] = idx;
+      offsets_[static_cast<std::size_t>(p) * (d + 1) + r] =
+          table.FindOrInsert(key.data());
       barycentric_[static_cast<std::size_t>(p) * (d + 1) + r] = bary[r];
     }
   }
 
-  offset_count_ = table.size();
+  offset_count_ = static_cast<std::size_t>(table.size());
 
   // Precompute blur neighbors: for occupied lattice point k and axis j,
   // the neighbors are k +/- (1,...,1) with -(d) (resp. +(d)) in slot j.
   blur_plus_.assign((d + 1) * offset_count_, -1);
   blur_minus_.assign((d + 1) * offset_count_, -1);
   std::vector<int16_t> nkey(d);
-  for (const auto& kv : table) {
-    const std::vector<int16_t>& k = kv.first;
-    const int32_t idx = kv.second;
+  for (int32_t idx = 0; idx < table.size(); ++idx) {
+    const int16_t* k = table.KeyOf(idx);
     for (int j = 0; j <= d; ++j) {
       // plus neighbor
       for (int i = 0; i < d; ++i)
         nkey[i] = static_cast<int16_t>(k[i] + 1 - (i == j ? d + 1 : 0));
       // note: axis j == d corresponds to no subtraction inside first d
       // coords (the implicit last coordinate absorbs it)
-      auto it = table.find(nkey);
       blur_plus_[static_cast<std::size_t>(j) * offset_count_ + idx] =
-          (it == table.end()) ? -1 : it->second;
+          table.Find(nkey.data());
       // minus neighbor
       for (int i = 0; i < d; ++i)
         nkey[i] = static_cast<int16_t>(k[i] - 1 + (i == j ? d + 1 : 0));
-      it = table.find(nkey);
       blur_minus_[static_cast<std::size_t>(j) * offset_count_ + idx] =
-          (it == table.end()) ? -1 : it->second;
+          table.Find(nkey.data());
     }
   }
 }
 
-void Permutohedral::Compute(const float* in, float* out,
-                            int value_size) const {
+void Permutohedral::Compute(const float* in, float* out, int value_size,
+                            const float* point_scale) const {
   const int vd = value_size;
   const std::size_t M = offset_count_;
-  std::vector<float> values(M * vd, 0.f);
-  std::vector<float> new_values(M * vd, 0.f);
+  values_.assign(M * vd, 0.f);
+  new_values_.resize(M * vd);
 
   // Splat.
   for (int p = 0; p < n_; ++p) {
+    const float ps = point_scale ? point_scale[p] : 1.f;
     for (int r = 0; r <= d_; ++r) {
       const int32_t o = offsets_[static_cast<std::size_t>(p) * (d_ + 1) + r];
-      const float w = barycentric_[static_cast<std::size_t>(p) * (d_ + 1) + r];
-      float* dst = values.data() + static_cast<std::size_t>(o) * vd;
+      const float w =
+          ps * barycentric_[static_cast<std::size_t>(p) * (d_ + 1) + r];
+      float* dst = values_.data() + static_cast<std::size_t>(o) * vd;
       const float* src = in + static_cast<std::size_t>(p) * vd;
       for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
     }
@@ -167,15 +217,16 @@ void Permutohedral::Compute(const float* in, float* out,
         blur_minus_.data() + static_cast<std::size_t>(j) * M;
 #pragma omp parallel for schedule(static)
     for (std::size_t m = 0; m < M; ++m) {
-      const float* self = values.data() + m * vd;
-      const float* vp =
-          plus[m] >= 0 ? values.data() + static_cast<std::size_t>(plus[m]) * vd
-                       : nullptr;
+      const float* self = values_.data() + m * vd;
+      const float* vp = plus[m] >= 0
+                            ? values_.data() +
+                                  static_cast<std::size_t>(plus[m]) * vd
+                            : nullptr;
       const float* vm = minus[m] >= 0
-                            ? values.data() +
+                            ? values_.data() +
                                   static_cast<std::size_t>(minus[m]) * vd
                             : nullptr;
-      float* dst = new_values.data() + m * vd;
+      float* dst = new_values_.data() + m * vd;
       for (int c = 0; c < vd; ++c) {
         float v = 0.5f * self[c];
         if (vp) v += 0.25f * vp[c];
@@ -183,7 +234,7 @@ void Permutohedral::Compute(const float* in, float* out,
         dst[c] = v;
       }
     }
-    values.swap(new_values);
+    values_.swap(new_values_);
   }
 
   // Slice (with the alpha correction for the blur gain).
@@ -191,11 +242,13 @@ void Permutohedral::Compute(const float* in, float* out,
   std::memset(out, 0, static_cast<std::size_t>(n_) * vd * sizeof(float));
 #pragma omp parallel for schedule(static)
   for (int p = 0; p < n_; ++p) {
+    const float ps = point_scale ? point_scale[p] : 1.f;
     float* dst = out + static_cast<std::size_t>(p) * vd;
     for (int r = 0; r <= d_; ++r) {
       const int32_t o = offsets_[static_cast<std::size_t>(p) * (d_ + 1) + r];
-      const float w = barycentric_[static_cast<std::size_t>(p) * (d_ + 1) + r];
-      const float* src = values.data() + static_cast<std::size_t>(o) * vd;
+      const float w =
+          ps * barycentric_[static_cast<std::size_t>(p) * (d_ + 1) + r];
+      const float* src = values_.data() + static_cast<std::size_t>(o) * vd;
       for (int c = 0; c < vd; ++c) dst[c] += alpha * w * src[c];
     }
   }
