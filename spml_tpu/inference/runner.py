@@ -30,6 +30,43 @@ from spml_tpu.ops import common, randomwalk
 from spml_tpu.utils import vis
 
 
+class _AsyncSink:
+    """Bounded thread pool for the per-image HOST tail (DenseCRF +
+    argmax + PNG save): ctypes releases the GIL during the C++ CRF, so
+    the tail overlaps the NEXT image's device compute and scales across
+    cores. In-flight items are bounded (each holds a [C, H, W] float32
+    prob map, ~22 MB at 512/21 classes).
+
+    The reference runs the CRF inline between forward passes
+    (inference_crf.py main loop); outputs are per-image files, so
+    completion order is irrelevant."""
+
+    def __init__(self, workers=None, max_inflight=None):
+        import concurrent.futures
+        import os as _os
+        workers = workers or min(8, _os.cpu_count() or 1)
+        self._pool = concurrent.futures.ThreadPoolExecutor(workers)
+        self._limit = max_inflight or 2 * workers
+        self._pending = []
+
+    def submit(self, fn, *args):
+        self._pending.append(self._pool.submit(fn, *args))
+        while len(self._pending) >= self._limit:
+            self._pending.pop(0).result()
+
+    def close(self):
+        for f in self._pending:
+            f.result()
+        self._pending.clear()
+        self._pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        self.close()
+
+
 def _maybe_resize_input(config, image, sem=None, inst=None):
     """Resize larger side to test.image_size when set
     (inference.py:123-134)."""
@@ -146,35 +183,47 @@ def run_knn_inference(args, config, msc=False, crf=False,
     postprocessor = cli.crf_from_args(args) if crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
 
-    for _, base, image0, _, _ in cli.iterate_test_images(
-            config, args.data_dir, args.data_list):
-        oh, ow = image0.shape[:2]
-        image, _, _ = _maybe_resize_input(config, image0)
-        if msc and not crf:
-            # finish on device: resize-to-original + argmax inside one
-            # bucketed program, download 1 byte/px instead of C-channel
-            # fp16 probs (the dominant tunnel cost; see
-            # msc.msc_predict_labels_device)
-            pred = msc_lib.msc_predict_labels_device(
-                eng, image, memory, scales=scales, is_flip=True,
-                final_hw=(oh, ow))
-        elif msc or crf:
-            if msc:
-                probs = msc_lib.msc_predict_probs_device(
-                    eng, image, memory, scales=scales, is_flip=True)
-            else:
-                probs = eng.predict_topk_probs(image, *memory)
-            probs = transforms._resize_image(probs, oh, ow)
-            if postprocessor is not None:
-                rgb = cli.denormalize_image(image0, config)
-                probs = postprocessor(rgb, probs.transpose(2, 0, 1))
-                probs = probs.transpose(1, 2, 0)
-            pred = probs.argmax(-1).astype(np.uint8)
-        else:
-            pred = eng.predict_semantic(image, *memory)
-            pred = _resize_pred_to(pred, oh, ow)
+    def _tail(probs, image0, base, oh, ow):
+        """Host tail: prob resize + CRF + argmax + save — runs on the
+        _AsyncSink pool, overlapped with the next image's device work."""
+        probs = transforms._resize_image(probs, oh, ow)
+        if postprocessor is not None:
+            rgb = cli.denormalize_image(image0, config)
+            probs = postprocessor(rgb, probs.transpose(2, 0, 1))
+            probs = probs.transpose(1, 2, 0)
+        pred = probs.argmax(-1).astype(np.uint8)
         cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
         print(f"inference {base}", flush=True)
+
+    with _AsyncSink() as sink:
+        for _, base, image0, _, _ in cli.iterate_test_images(
+                config, args.data_dir, args.data_list):
+            oh, ow = image0.shape[:2]
+            image, _, _ = _maybe_resize_input(config, image0)
+            if msc and not crf:
+                # finish on device: resize-to-original + argmax inside
+                # one bucketed program, download 1 byte/px instead of
+                # C-channel fp16 probs (the dominant tunnel cost; see
+                # msc.msc_predict_labels_device)
+                pred = msc_lib.msc_predict_labels_device(
+                    eng, image, memory, scales=scales, is_flip=True,
+                    final_hw=(oh, ow))
+                cli.save_semantic_pngs(pred, base, args.save_dir,
+                                       color_map)
+                print(f"inference {base}", flush=True)
+            elif msc or crf:
+                if msc:
+                    probs = msc_lib.msc_predict_probs_device(
+                        eng, image, memory, scales=scales, is_flip=True)
+                else:
+                    probs = eng.predict_topk_probs(image, *memory)
+                sink.submit(_tail, probs, image0, base, oh, ow)
+            else:
+                pred = eng.predict_semantic(image, *memory)
+                pred = _resize_pred_to(pred, oh, ow)
+                cli.save_semantic_pngs(pred, base, args.save_dir,
+                                       color_map)
+                print(f"inference {base}", flush=True)
 
 
 def run_softmax_inference(args, config, msc=False, crf=False,
@@ -188,28 +237,35 @@ def run_softmax_inference(args, config, msc=False, crf=False,
     postprocessor = cli.crf_from_args(args) if crf else None
     color_map = vis.load_color_map(config.dataset.color_map_path)
 
-    for _, base, image0, _, _ in cli.iterate_test_images(
-            config, args.data_dir, args.data_list):
-        oh, ow = image0.shape[:2]
-        image, _, _ = _maybe_resize_input(config, image0)
-        if msc and postprocessor is None:
-            pred = msc_lib.msc_predict_labels_device(
-                eng, image, (), scales=scales, is_flip=True,
-                final_hw=(oh, ow))
-        else:
-            if msc:
-                probs = msc_lib.msc_predict_probs_device(
-                    eng, image, (), scales=scales, is_flip=True)
-            else:
-                probs = eng.predict_probs(image)
-            probs = transforms._resize_image(probs, oh, ow)
-            if postprocessor is not None:
-                rgb = cli.denormalize_image(image0, config)
-                probs = postprocessor(rgb, probs.transpose(2, 0, 1))
-                probs = probs.transpose(1, 2, 0)
-            pred = probs.argmax(-1).astype(np.uint8)
+    def _tail(probs, image0, base, oh, ow):
+        probs = transforms._resize_image(probs, oh, ow)
+        if postprocessor is not None:
+            rgb = cli.denormalize_image(image0, config)
+            probs = postprocessor(rgb, probs.transpose(2, 0, 1))
+            probs = probs.transpose(1, 2, 0)
+        pred = probs.argmax(-1).astype(np.uint8)
         cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
         print(f"softmax inference {base}", flush=True)
+
+    with _AsyncSink() as sink:
+        for _, base, image0, _, _ in cli.iterate_test_images(
+                config, args.data_dir, args.data_list):
+            oh, ow = image0.shape[:2]
+            image, _, _ = _maybe_resize_input(config, image0)
+            if msc and postprocessor is None:
+                pred = msc_lib.msc_predict_labels_device(
+                    eng, image, (), scales=scales, is_flip=True,
+                    final_hw=(oh, ow))
+                cli.save_semantic_pngs(pred, base, args.save_dir,
+                                       color_map)
+                print(f"softmax inference {base}", flush=True)
+            else:
+                if msc:
+                    probs = msc_lib.msc_predict_probs_device(
+                        eng, image, (), scales=scales, is_flip=True)
+                else:
+                    probs = eng.predict_probs(image)
+                sink.submit(_tail, probs, image0, base, oh, ow)
 
 
 def _stride8_affinity(config, emb_model, evars, image):
@@ -267,21 +323,25 @@ def run_pseudo_camrw_crf(args, config, bg_alpha=6.0, with_crf=True):
     color_map = vis.load_color_map(config.dataset.color_map_path)
     C = config.dataset.num_classes
 
-    for _, base, image, sem, _ in cli.iterate_test_images(
-            config, args.data_dir, args.data_list):
-        h, w = image.shape[:2]
-        cam = np.load(os.path.join(args.cam_dir,
-                                   base.replace(".png", ".npy")),
-                      allow_pickle=True).item()
-        scores = randomwalk.cam_to_full_scores(cam, C, h, w, bg_alpha)
-        aff = _stride8_affinity(config, emb_model, evars, image)
-        walked = _walk_scores(config, aff, scores, (h // 8, w // 8))
+    def _tail(walked, image, base):
         if postprocessor is not None:
             rgb = cli.denormalize_image(image, config)
             walked = postprocessor(rgb, np.ascontiguousarray(walked))
         pred = walked.argmax(0).astype(np.uint8)
         cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
         print(f"pseudo_camrw {base}", flush=True)
+
+    with _AsyncSink() as sink:
+        for _, base, image, sem, _ in cli.iterate_test_images(
+                config, args.data_dir, args.data_list):
+            h, w = image.shape[:2]
+            cam = np.load(os.path.join(args.cam_dir,
+                                       base.replace(".png", ".npy")),
+                          allow_pickle=True).item()
+            scores = randomwalk.cam_to_full_scores(cam, C, h, w, bg_alpha)
+            aff = _stride8_affinity(config, emb_model, evars, image)
+            walked = _walk_scores(config, aff, scores, (h // 8, w // 8))
+            sink.submit(_tail, walked, image, base)
 
 
 def run_pseudo_softmax(args, config, with_crf=False, with_walk=True,
@@ -297,30 +357,34 @@ def run_pseudo_softmax(args, config, with_crf=False, with_walk=True,
     color_map = vis.load_color_map(config.dataset.color_map_path)
     C = config.dataset.num_classes
 
-    for _, base, image, sem, _ in cli.iterate_test_images(
-            config, args.data_dir, args.data_list):
-        h, w = image.shape[:2]
-        probs = msc_lib.msc_predict_probs_device(
-            eng, image, (), scales=scales, is_flip=True)
-        probs = probs.transpose(2, 0, 1)  # [C, h, w]
-        # mask to the image's tags and max-normalize
-        # (pseudo_softmaxrw_crf.py:146-158)
-        if sem is not None:
-            tags = np.zeros(C, np.float32)
-            uniq = np.unique(sem)
-            tags[uniq[uniq < C]] = 1.0
-            probs = probs * tags[:, None, None]
-        probs = probs / np.maximum(probs.max(axis=(1, 2), keepdims=True),
-                                   1e-8)
-        if with_walk:
-            aff = _stride8_affinity(config, emb_model, evars, image)
-            probs = _walk_scores(config, aff, probs, (h // 8, w // 8))
+    def _tail(probs, image, base):
         if postprocessor is not None:
             rgb = cli.denormalize_image(image, config)
             probs = postprocessor(rgb, np.ascontiguousarray(probs))
         pred = probs.argmax(0).astype(np.uint8)
         cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
         print(f"pseudo_softmax {base}", flush=True)
+
+    with _AsyncSink() as sink:
+        for _, base, image, sem, _ in cli.iterate_test_images(
+                config, args.data_dir, args.data_list):
+            h, w = image.shape[:2]
+            probs = msc_lib.msc_predict_probs_device(
+                eng, image, (), scales=scales, is_flip=True)
+            probs = probs.transpose(2, 0, 1)  # [C, h, w]
+            # mask to the image's tags and max-normalize
+            # (pseudo_softmaxrw_crf.py:146-158)
+            if sem is not None:
+                tags = np.zeros(C, np.float32)
+                uniq = np.unique(sem)
+                tags[uniq[uniq < C]] = 1.0
+                probs = probs * tags[:, None, None]
+            probs = probs / np.maximum(
+                probs.max(axis=(1, 2), keepdims=True), 1e-8)
+            if with_walk:
+                aff = _stride8_affinity(config, emb_model, evars, image)
+                probs = _walk_scores(config, aff, probs, (h // 8, w // 8))
+            sink.submit(_tail, probs, image, base)
 
 
 def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
@@ -337,12 +401,7 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
     C = config.dataset.num_classes
     ignore = config.dataset.semantic_ignore_index
 
-    for _, base, image, sem, _ in cli.iterate_test_images(
-            config, args.data_dir, args.data_list):
-        oh, ow = image.shape[:2]
-        probs = msc_lib.msc_predict_probs_device(
-            eng, image, memory, scales=scales, is_flip=True)
-        probs = probs.transpose(2, 0, 1)
+    def _tail(probs, image, sem, base):
         if sem is not None:
             tags = np.zeros(C, np.float32)
             uniq = np.unique(sem)
@@ -357,6 +416,13 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
         pred = pred.astype(np.uint8)
         cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
         print(f"pseudo_knn {base}", flush=True)
+
+    with _AsyncSink() as sink:
+        for _, base, image, sem, _ in cli.iterate_test_images(
+                config, args.data_dir, args.data_list):
+            probs = msc_lib.msc_predict_probs_device(
+                eng, image, memory, scales=scales, is_flip=True)
+            sink.submit(_tail, probs.transpose(2, 0, 1), image, sem, base)
 
 
 def run_benchmark(args, config, instance=False):
@@ -439,6 +505,7 @@ def run_pseudo_densepose(args, config, with_crf=True, bg_threshold=None):
 
     propagate = jax.jit(propagate)
 
+    sink = _AsyncSink()
     for _, base, image, sem, inst in cli.iterate_test_images(
             config, args.data_dir, args.data_list):
         h, w = image.shape[:2]
@@ -485,10 +552,20 @@ def run_pseudo_densepose(args, config, with_crf=True, bg_threshold=None):
 
         full = transforms._resize_image(walked.transpose(1, 2, 0), h, w)
         full = np.ascontiguousarray(full.transpose(2, 0, 1))
-        if postprocessor is not None:
-            rgb = cli.denormalize_image(image, config)
-            full = postprocessor(rgb, full)
-        pred = full.argmax(0).astype(np.uint8)
-        pred[sem == ignore] = ignore
-        cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
-        print(f"pseudo_densepose {base}", flush=True)
+        sink.submit(_densepose_tail, args, config, postprocessor,
+                    color_map, full, image, sem, base)
+    sink.close()
+
+
+def _densepose_tail(args, config, postprocessor, color_map, full,
+                    image, sem, base):
+    """Host tail of run_pseudo_densepose (CRF + argmax + ignore re-mask
+    + save), run on the _AsyncSink pool."""
+    ignore = config.dataset.semantic_ignore_index
+    if postprocessor is not None:
+        rgb = cli.denormalize_image(image, config)
+        full = postprocessor(rgb, full)
+    pred = full.argmax(0).astype(np.uint8)
+    pred[sem == ignore] = ignore
+    cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
+    print(f"pseudo_densepose {base}", flush=True)
