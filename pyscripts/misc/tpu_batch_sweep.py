@@ -25,6 +25,7 @@ def run_one(batch, crop, fused, trace_dir=None, iters=10, blobby=False):
     import jax
     import jax.numpy as jnp
 
+    from spml_tpu.cli import enable_compilation_cache
     from spml_tpu.config import load_config
     from spml_tpu.parallel import mesh as mesh_lib
     from spml_tpu.train import step as step_lib
@@ -48,6 +49,7 @@ def run_one(batch, crop, fused, trace_dir=None, iters=10, blobby=False):
                 "use_fused_loss": fused},
     })
 
+    enable_compilation_cache(cfg)
     mesh = mesh_lib.make_mesh(num_devices=1)
     rng = np.random.RandomState(0)
     if blobby:
