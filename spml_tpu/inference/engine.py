@@ -89,6 +89,25 @@ def device_member_resize(base_img, base_hw, member_hw, flip,
     return jnp.where(inside[..., None], member, 0.0)
 
 
+def run_warmup_thunks(thunks, workers: int = 4) -> None:
+    """Execute warmup compile thunks on a thread pool: XLA compiles
+    parallelize across threads even over the tunneled backend (measured
+    ~2x with 2 threads, pyscripts/misc/parallel_compile_probe.py), so
+    the per-bucket program warmup pays ~workers fewer sequential
+    multi-minute compiles. Execution afterwards serializes on the
+    device but is negligible next to the compiles."""
+    import concurrent.futures
+
+    import jax as _jax
+    if len(thunks) <= 1:
+        for t in thunks:
+            _jax.block_until_ready(t())
+        return
+    with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+        for out in pool.map(lambda t: t(), thunks):
+            _jax.block_until_ready(out)
+
+
 class InferenceEngine:
     def __init__(self, config, emb_model, variables):
         self.config = config
@@ -200,6 +219,7 @@ class InferenceEngine:
             mem_l = jnp.zeros((20,), jnp.int32)
             mem_v = jnp.zeros((20,), bool)
         warmed = []
+        thunks = []
         for ph in hs:
             for pw in ws:
                 # an image can only reach bucket (ph, pw) if its aspect
@@ -213,26 +233,33 @@ class InferenceEngine:
                     # inputs (<= test.image_size) reach
                     for bh_ in bhs:
                         for bw_ in bws:
-                            jax.block_until_ready(self._fused_member(
-                                jnp.zeros((bh_, bw_, 3),
-                                          self._img_dtype),
-                                jnp.asarray([bh_, bw_], jnp.int32),
-                                hw, jnp.asarray(0, jnp.int32),
-                                mem_p, mem_l, mem_v,
-                                num_classes=num_classes,
-                                member_bucket=(ph, pw)))
+                            thunks.append(
+                                lambda hw=hw, bh_=bh_, bw_=bw_,
+                                ph=ph, pw=pw:
+                                self._fused_member(
+                                    jnp.zeros((bh_, bw_, 3),
+                                              self._img_dtype),
+                                    jnp.asarray([bh_, bw_], jnp.int32),
+                                    hw, jnp.asarray(0, jnp.int32),
+                                    mem_p, mem_l, mem_v,
+                                    num_classes=num_classes,
+                                    member_bucket=(ph, pw)))
                 if "probs" in kinds:
-                    jax.block_until_ready(self._fused_probs(
-                        img, hw, mem_p, mem_l, mem_v,
-                        num_classes=num_classes))
+                    thunks.append(lambda img=img, hw=hw:
+                                  self._fused_probs(
+                                      img, hw, mem_p, mem_l, mem_v,
+                                      num_classes=num_classes))
                 if "predict" in kinds:
-                    jax.block_until_ready(self._fused_predict(
-                        img, hw, mem_p, mem_l, mem_v,
-                        num_classes=num_classes))
+                    thunks.append(lambda img=img, hw=hw:
+                                  self._fused_predict(
+                                      img, hw, mem_p, mem_l, mem_v,
+                                      num_classes=num_classes))
                 if "prototype" in kinds:
-                    jax.block_until_ready(self._fused_prototype(
-                        img, jnp.zeros((ph, pw), jnp.uint8), hw,
-                        num_classes=num_classes))
+                    thunks.append(lambda img=img, hw=hw, ph=ph, pw=pw:
+                                  self._fused_prototype(
+                                      img,
+                                      jnp.zeros((ph, pw), jnp.uint8),
+                                      hw, num_classes=num_classes))
                 warmed.append((ph, pw))
         if "pyramid" in kinds or "probs" in kinds:
             # MSC's bucket-static resize/accumulate programs:
@@ -244,10 +271,13 @@ class InferenceEngine:
                 for ob in warmed:
                     acc = jnp.zeros(ob + (num_classes,), jnp.float32)
                     for flip in (False, True):
-                        jax.block_until_ready(
+                        thunks.append(
+                            lambda acc=acc, probs=probs, hw=hw,
+                            ob=ob, flip=flip:
                             msc_lib._resize_accumulate(
                                 acc, probs, hw, hw, out_bucket=ob,
                                 flip=flip))
+        run_warmup_thunks(thunks)
         return warmed
 
     def stitched_embeddings(self, image: np.ndarray) -> jnp.ndarray:

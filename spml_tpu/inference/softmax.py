@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spml_tpu.data import transforms
+from spml_tpu.inference import engine as engine_lib
 from spml_tpu.inference.engine import (bucket_dim, device_member_resize,
                                        patch_ends)
 from spml_tpu.ops import common
@@ -120,21 +121,25 @@ class SoftmaxInferenceEngine:
         bws = sorted({bucket_dim(s, self.crop[1], self.stride[1])
                       for s in range(1, base_max + 1)})
         warmed = []
+        thunks = []
         for ph in hs:
             for pw in ws:
                 if device_pyramid:
                     for bh in bhs:
                         for bw in bws:
-                            jax.block_until_ready(self._fused_member(
-                                jnp.zeros((bh, bw, 3),
-                                          self._img_dtype),
-                                jnp.asarray([bh, bw], jnp.int32),
-                                jnp.asarray([ph, pw], jnp.int32),
-                                jnp.asarray(0, jnp.int32),
-                                member_bucket=(ph, pw)))
+                            thunks.append(
+                                lambda bh=bh, bw=bw, ph=ph, pw=pw:
+                                self._fused_member(
+                                    jnp.zeros((bh, bw, 3),
+                                              self._img_dtype),
+                                    jnp.asarray([bh, bw], jnp.int32),
+                                    jnp.asarray([ph, pw], jnp.int32),
+                                    jnp.asarray(0, jnp.int32),
+                                    member_bucket=(ph, pw)))
                 else:
-                    jax.block_until_ready(self._fused_probs(
-                        jnp.zeros((ph, pw, 3), self._img_dtype)))
+                    thunks.append(lambda ph=ph, pw=pw:
+                                  self._fused_probs(jnp.zeros(
+                                      (ph, pw, 3), self._img_dtype)))
                 warmed.append((ph, pw))
         if device_pyramid:
             from spml_tpu.inference import msc as msc_lib
@@ -146,10 +151,13 @@ class SoftmaxInferenceEngine:
                     for bw in bws:
                         acc = jnp.zeros((bh, bw, c), jnp.float32)
                         for flip in (False, True):
-                            jax.block_until_ready(
+                            thunks.append(
+                                lambda acc=acc, probs=probs, hw=hw,
+                                bh=bh, bw=bw, flip=flip:
                                 msc_lib._resize_accumulate(
                                     acc, probs, hw, hw,
                                     out_bucket=(bh, bw), flip=flip))
+        engine_lib.run_warmup_thunks(thunks)
         return warmed
 
     def predict_logits(self, image: np.ndarray,
