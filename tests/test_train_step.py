@@ -257,3 +257,36 @@ def test_compact_feed_exact():
     for a, b_ in zip(jax.tree.leaves(s_wide.params),
                      jax.tree.leaves(s_cpt.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_lazy_metrics_only_on_logged_steps():
+    """tpu.lazy_metrics computes the top-5 retrieval accuracy only when
+    state.step % tensorboard_step == 0 (the only steps the driver reads
+    it, matching the reference's log-every-tensorboard_step), and the
+    logged-step value equals the eagerly-computed one."""
+    cfg = _tiny_config()
+    cfg.train.tensorboard_step = 2
+    rng = np.random.RandomState(12)
+    img = jnp.zeros((2, 32, 32, 3))
+    batch = _batch(rng, 2, 32)
+
+    cfg.tpu.lazy_metrics = True
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    step = jax.jit(step_lib.make_train_step(cfg))
+    state, m0 = step(state, batch)   # step 0: logged
+    state, m1 = step(state, batch)   # step 1: skipped
+    state, m2 = step(state, batch)   # step 2: logged
+
+    cfg2 = _tiny_config()
+    cfg2.train.tensorboard_step = 2
+    cfg2.tpu.lazy_metrics = False
+    state_e = step_lib.init_state(cfg2, jax.random.PRNGKey(0), img)
+    step_e = jax.jit(step_lib.make_train_step(cfg2))
+    state_e, e0 = step_e(state_e, batch)
+    state_e, e1 = step_e(state_e, batch)
+
+    assert float(m1["accuracy"]) == 0.0       # skipped
+    assert float(e1["accuracy"]) > 0.0        # eager computes it
+    np.testing.assert_allclose(float(m0["accuracy"]),
+                               float(e0["accuracy"]), rtol=1e-6)
+    assert float(m2["accuracy"]) > 0.0        # logged step computes
