@@ -134,6 +134,9 @@ class InferenceEngine:
         self._fused_member = jax.jit(
             self._fused_member_impl,
             static_argnames=("num_classes", "member_bucket"))
+        self._fused_member_pair = jax.jit(
+            self._fused_member_pair_impl,
+            static_argnames=("num_classes", "member_bucket"))
         self._fused_predict = jax.jit(
             self._fused_predict_impl, static_argnames=("num_classes",))
         self._fused_prototype = jax.jit(
@@ -228,20 +231,20 @@ class InferenceEngine:
                 img = jnp.zeros((ph, pw, 3), self._img_dtype)
                 hw = jnp.asarray([ph, pw], jnp.int32)
                 if "pyramid" in kinds:
-                    # one fused program per (base bucket, member
-                    # bucket); the base bucket set is what unscaled
-                    # inputs (<= test.image_size) reach
+                    # one fused PAIR program (both flips share an embed
+                    # batch) per (base bucket, member bucket); the base
+                    # bucket set is what unscaled inputs
+                    # (<= test.image_size) reach
                     for bh_ in bhs:
                         for bw_ in bws:
                             thunks.append(
                                 lambda hw=hw, bh_=bh_, bw_=bw_,
                                 ph=ph, pw=pw:
-                                self._fused_member(
+                                self._fused_member_pair(
                                     jnp.zeros((bh_, bw_, 3),
                                               self._img_dtype),
                                     jnp.asarray([bh_, bw_], jnp.int32),
-                                    hw, jnp.asarray(0, jnp.int32),
-                                    mem_p, mem_l, mem_v,
+                                    hw, mem_p, mem_l, mem_v,
                                     num_classes=num_classes,
                                     member_bucket=(ph, pw)))
                 if "probs" in kinds:
@@ -382,8 +385,15 @@ class InferenceEngine:
         overlap-averaged [Hb, Wb, D] embedding map, all in-graph (the
         traced core of every fused program; static patch grid per
         bucket)."""
+        return self._stitch_batched_impl(img[None])[0]
+
+    def _stitch_batched_impl(self, imgs):
+        """_stitch_impl over a leading batch axis: every image's
+        patches join ONE embed forward (batch = n_images x n_windows),
+        so e.g. an MSC flip pair costs one larger — better-utilized —
+        conv batch instead of two dispatches."""
         crop_h, crop_w = self.crop
-        pad_h, pad_w = img.shape[:2]
+        n, pad_h, pad_w = imgs.shape[:3]
         ends_h = [int(e) for e in patch_ends(pad_h, crop_h,
                                              self.stride[0])]
         ends_w = [int(e) for e in patch_ends(pad_w, crop_w,
@@ -391,17 +401,22 @@ class InferenceEngine:
         windows = [(eh - crop_h, ew - crop_w)
                    for eh in ends_h for ew in ends_w]
 
-        patches = jnp.stack([img[sh:sh + crop_h, sw:sw + crop_w]
+        # [n_win, n, crop, crop, 3] -> [n_win * n, ...]
+        patches = jnp.stack([imgs[:, sh:sh + crop_h, sw:sw + crop_w]
                              for sh, sw in windows])
+        patches = patches.reshape((-1,) + patches.shape[2:])
         emb, _ = self.emb_model.apply(self.variables, patches,
                                       train=False, resize_as_input=True)
         emb = common.normalize_embedding(emb.astype(jnp.float32))
+        emb = emb.reshape((len(windows), n) + emb.shape[1:])
 
-        total = jnp.zeros((pad_h, pad_w, emb.shape[-1]), jnp.float32)
-        counts = jnp.zeros((pad_h, pad_w, 1), jnp.float32)
+        total = jnp.zeros((n, pad_h, pad_w, emb.shape[-1]), jnp.float32)
+        counts = jnp.zeros((n, pad_h, pad_w, 1), jnp.float32)
         for k, (sh, sw) in enumerate(windows):
-            total = total.at[sh:sh + crop_h, sw:sw + crop_w].add(emb[k])
-            counts = counts.at[sh:sh + crop_h, sw:sw + crop_w].add(1.0)
+            total = total.at[:, sh:sh + crop_h,
+                             sw:sw + crop_w].add(emb[k])
+            counts = counts.at[:, sh:sh + crop_h,
+                               sw:sw + crop_w].add(1.0)
         return total / counts
 
     def _traced_fake_labels(self, pad_shape, hw):
@@ -474,6 +489,32 @@ class InferenceEngine:
         return self._fused_probs_impl(
             member, member_hw, memory_protos, memory_labels,
             memory_valid, num_classes)
+
+    def _fused_member_pair_impl(self, base_img, base_hw, member_hw,
+                                memory_protos, memory_labels,
+                                memory_valid, num_classes: int,
+                                member_bucket):
+        """Both flips of one pyramid scale in ONE program: the two
+        members' windows share a single embed forward (batch = 2 x
+        n_windows) and the clustering/KNN stages vmap over the pair —
+        halving the MSC dispatch count and doubling the conv batch.
+        Returns [2, Hb, Wb, C] probs; index 1 is the flipped member
+        STILL in flipped orientation (msc._resize_accumulate un-flips
+        during accumulation, same as the single-member path)."""
+        import functools as _ft
+        m0 = device_member_resize(base_img, base_hw, member_hw,
+                                  jnp.asarray(0, jnp.int32),
+                                  member_bucket)
+        m1 = device_member_resize(base_img, base_hw, member_hw,
+                                  jnp.asarray(1, jnp.int32),
+                                  member_bucket)
+        embs = self._stitch_batched_impl(jnp.stack([m0, m1]))
+        sem, inst = self._traced_fake_labels(member_bucket, member_hw)
+        cluster = _ft.partial(
+            self._cluster_probs_impl, sem_label=sem, inst_label=inst,
+            memory_protos=memory_protos, memory_labels=memory_labels,
+            memory_valid=memory_valid, num_classes=num_classes)
+        return jax.vmap(lambda e: cluster(e))(embs)
 
     @staticmethod
     def _majority_impl(seg_map, labels, valid, num_segments, num_bins: int):
@@ -568,6 +609,19 @@ class InferenceEngine:
         return self._fused_member(
             base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
             jnp.asarray(1 if flip else 0, jnp.int32),
+            memory_protos, memory_labels, memory_valid,
+            num_classes=self.config.dataset.num_classes,
+            member_bucket=member_bucket)
+
+    def predict_member_pair_probs(self, base_dev, base_hw,
+                                  member_hw: tuple, memory_protos,
+                                  memory_labels, memory_valid):
+        """Both flips of one pyramid scale as ONE fused program
+        (see _fused_member_pair_impl): [2, Hb, Wb, C] device probs,
+        index 1 still in flipped orientation."""
+        member_bucket = self.bucket_shape(*member_hw)
+        return self._fused_member_pair(
+            base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
             memory_protos, memory_labels, memory_valid,
             num_classes=self.config.dataset.num_classes,
             member_bucket=member_bucket)

@@ -133,17 +133,31 @@ def _msc_accumulate_device(engine, image: np.ndarray, member_args,
     base_hw = jnp.asarray([h, w], jnp.int32)
 
     flips = [False, True] if is_flip else [False]
+    use_pair = is_flip and hasattr(engine, "predict_member_pair_probs")
     acc = None
     n = 0
     out_hw = jnp.asarray([h, w], jnp.int32)
     for scale in scales:
         member_hw = (int(h * scale), int(w * scale))
+        in_hw = jnp.asarray(member_hw, jnp.int32)
+        if use_pair:
+            # both flips of this scale in ONE fused program (shared
+            # embed batch; engine._fused_member_pair_impl)
+            pair = engine.predict_member_pair_probs(
+                base_dev, base_hw, member_hw, *member_args)
+            if acc is None:
+                acc = jnp.zeros(base_b + (pair.shape[-1],), jnp.float32)
+            acc = _resize_accumulate(acc, pair[0], in_hw, out_hw,
+                                     out_bucket=base_b, flip=False)
+            acc = _resize_accumulate(acc, pair[1], in_hw, out_hw,
+                                     out_bucket=base_b, flip=True)
+            n += 2
+            continue
         for f in flips:
             probs = engine.predict_member_probs(
                 base_dev, base_hw, member_hw, f, *member_args)
             if acc is None:
                 acc = jnp.zeros(base_b + (probs.shape[-1],), jnp.float32)
-            in_hw = jnp.asarray(member_hw, jnp.int32)
             acc = _resize_accumulate(acc, probs, in_hw, out_hw,
                                      out_bucket=base_b, flip=bool(f))
             n += 1

@@ -48,6 +48,9 @@ class SoftmaxInferenceEngine:
         self._fused_probs = jax.jit(self._fused_probs_impl)
         self._fused_member = jax.jit(
             self._fused_member_impl, static_argnames=("member_bucket",))
+        self._fused_member_pair = jax.jit(
+            self._fused_member_pair_impl,
+            static_argnames=("member_bucket",))
 
     def bucket_shape(self, h: int, w: int) -> tuple[int, int]:
         if not self.pad_buckets:
@@ -95,6 +98,20 @@ class SoftmaxInferenceEngine:
                                       member_bucket)
         return self._fused_probs_impl(member)
 
+    def _fused_member_pair_impl(self, base_img, base_hw, member_hw,
+                                member_bucket):
+        """Both flips of one MSC scale in ONE program (all 2 x
+        n_windows patches share a single embed+classifier forward);
+        mirrors engine._fused_member_pair_impl. Returns [2, Hb, Wb, C]
+        probs, index 1 still in flipped orientation."""
+        m0 = device_member_resize(base_img, base_hw, member_hw,
+                                  jnp.asarray(0, jnp.int32),
+                                  member_bucket)
+        m1 = device_member_resize(base_img, base_hw, member_hw,
+                                  jnp.asarray(1, jnp.int32),
+                                  member_bucket)
+        return jax.vmap(self._fused_probs_impl)(jnp.stack([m0, m1]))
+
     def predict_member_probs(self, base_dev, base_hw, member_hw: tuple,
                              flip: bool):
         """One MSC member's bucket-shaped [Hb, Wb, C] device probs from
@@ -103,6 +120,15 @@ class SoftmaxInferenceEngine:
         return self._fused_member(
             base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
             jnp.asarray(1 if flip else 0, jnp.int32),
+            member_bucket=member_bucket)
+
+    def predict_member_pair_probs(self, base_dev, base_hw,
+                                  member_hw: tuple):
+        """Both flips of one MSC scale as one fused program
+        (msc._msc_accumulate_device's pair path)."""
+        member_bucket = self.bucket_shape(*member_hw)
+        return self._fused_member_pair(
+            base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
             member_bucket=member_bucket)
 
     def warmup(self, max_hw: int | None = None,
@@ -129,12 +155,11 @@ class SoftmaxInferenceEngine:
                         for bw in bws:
                             thunks.append(
                                 lambda bh=bh, bw=bw, ph=ph, pw=pw:
-                                self._fused_member(
+                                self._fused_member_pair(
                                     jnp.zeros((bh, bw, 3),
                                               self._img_dtype),
                                     jnp.asarray([bh, bw], jnp.int32),
                                     jnp.asarray([ph, pw], jnp.int32),
-                                    jnp.asarray(0, jnp.int32),
                                     member_bucket=(ph, pw)))
                 else:
                     thunks.append(lambda ph=ph, pw=pw:

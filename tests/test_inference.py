@@ -403,3 +403,35 @@ def test_msc_bucketed_equals_plain():
         is_flip=True)
     assert bucketed.shape == plain.shape == (30, 32, 4)
     np.testing.assert_allclose(bucketed, plain, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_member_pair_matches_singles():
+    """predict_member_pair_probs (both flips in one program, shared
+    embed batch) == two predict_member_probs calls, for every scale in
+    a small pyramid."""
+    eng, cfg = _engine(crop=32, stride=32)
+    rng = np.random.RandomState(9)
+    img = rng.randn(30, 32, 3).astype(np.float32)
+    gt = np.zeros((30, 32), np.int32)
+    gt[12:, 7:] = 2
+    protos, labels, valid = eng.build_prototypes(img, gt)
+    mp = jnp.asarray(np.tile(protos[valid], (20, 1)))
+    ml = jnp.asarray(np.tile(labels[valid], 20))
+    mv = jnp.ones((20 * int(valid.sum()),), bool)
+
+    h, w = img.shape[:2]
+    base_b = eng.bucket_shape(h, w)
+    from spml_tpu.data import transforms
+    base = transforms.resize_with_pad(img, base_b, 0.0)
+    base_dev = eng.upload_image(base)
+    base_hw = jnp.asarray([h, w], jnp.int32)
+
+    for scale in (0.75, 1.0, 1.25):
+        member_hw = (int(h * scale), int(w * scale))
+        pair = np.asarray(eng.predict_member_pair_probs(
+            base_dev, base_hw, member_hw, mp, ml, mv))
+        for f in (False, True):
+            single = np.asarray(eng.predict_member_probs(
+                base_dev, base_hw, member_hw, f, mp, ml, mv))
+            np.testing.assert_allclose(pair[int(f)], single,
+                                       rtol=1e-5, atol=1e-6)
