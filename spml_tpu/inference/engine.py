@@ -137,6 +137,10 @@ class InferenceEngine:
         self._fused_member_pair = jax.jit(
             self._fused_member_pair_impl,
             static_argnames=("num_classes", "member_bucket"))
+        self._member_pair_acc = jax.jit(
+            self._member_pair_acc_impl,
+            static_argnames=("num_classes", "member_bucket"),
+            donate_argnums=(0,))
         self._fused_predict = jax.jit(
             self._fused_predict_impl, static_argnames=("num_classes",))
         self._fused_prototype = jax.jit(
@@ -231,20 +235,24 @@ class InferenceEngine:
                 img = jnp.zeros((ph, pw, 3), self._img_dtype)
                 hw = jnp.asarray([ph, pw], jnp.int32)
                 if "pyramid" in kinds:
-                    # one fused PAIR program (both flips share an embed
-                    # batch) per (base bucket, member bucket); the base
-                    # bucket set is what unscaled inputs
-                    # (<= test.image_size) reach
+                    # one fused PAIR+ACCUMULATE program (both flips
+                    # share an embed batch; accumulator donated) per
+                    # (base bucket, member bucket); the base bucket set
+                    # is what unscaled inputs (<= test.image_size) reach
                     for bh_ in bhs:
                         for bw_ in bws:
                             thunks.append(
                                 lambda hw=hw, bh_=bh_, bw_=bw_,
                                 ph=ph, pw=pw:
-                                self._fused_member_pair(
+                                self._member_pair_acc(
+                                    jnp.zeros((bh_, bw_, num_classes),
+                                              jnp.float32),
                                     jnp.zeros((bh_, bw_, 3),
                                               self._img_dtype),
                                     jnp.asarray([bh_, bw_], jnp.int32),
-                                    hw, mem_p, mem_l, mem_v,
+                                    hw,
+                                    jnp.asarray([bh_, bw_], jnp.int32),
+                                    mem_p, mem_l, mem_v,
                                     num_classes=num_classes,
                                     member_bucket=(ph, pw)))
                 if "probs" in kinds:
@@ -516,6 +524,24 @@ class InferenceEngine:
             memory_valid=memory_valid, num_classes=num_classes)
         return jax.vmap(lambda e: cluster(e))(embs)
 
+    def _member_pair_acc_impl(self, acc, base_img, base_hw, member_hw,
+                              out_hw, memory_protos, memory_labels,
+                              memory_valid, num_classes: int,
+                              member_bucket):
+        """_fused_member_pair_impl + BOTH resize/un-flip/accumulate
+        steps in the same program, acc donated: one dispatch per
+        pyramid scale instead of three (pair + 2 accumulates) — each
+        dispatch is a tunnel round-trip in this environment."""
+        from spml_tpu.inference import msc as msc_lib
+        pair = self._fused_member_pair_impl(
+            base_img, base_hw, member_hw, memory_protos, memory_labels,
+            memory_valid, num_classes=num_classes,
+            member_bucket=member_bucket)
+        acc = msc_lib.resize_accumulate_body(acc, pair[0], member_hw,
+                                             out_hw, flip=False)
+        return msc_lib.resize_accumulate_body(acc, pair[1], member_hw,
+                                              out_hw, flip=True)
+
     @staticmethod
     def _majority_impl(seg_map, labels, valid, num_segments, num_bins: int):
         """Per-segment label histograms -> majority label (on device)."""
@@ -623,6 +649,19 @@ class InferenceEngine:
         return self._fused_member_pair(
             base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
             memory_protos, memory_labels, memory_valid,
+            num_classes=self.config.dataset.num_classes,
+            member_bucket=member_bucket)
+
+    def accumulate_member_pair(self, acc, base_dev, base_hw,
+                               member_hw: tuple, out_hw, memory_protos,
+                               memory_labels, memory_valid):
+        """One dispatch per pyramid scale: both flips' probs computed,
+        resized to the base bucket, un-flipped, and accumulated into
+        the DONATED acc (see _member_pair_acc_impl)."""
+        member_bucket = self.bucket_shape(*member_hw)
+        return self._member_pair_acc(
+            acc, base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
+            out_hw, memory_protos, memory_labels, memory_valid,
             num_classes=self.config.dataset.num_classes,
             member_bucket=member_bucket)
 

@@ -80,11 +80,11 @@ def bilinear_resize_weights(n_out_b, n_in_b, valid_out, valid_in,
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - y[None, :]))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("out_bucket", "flip"))
-def _resize_accumulate(acc, probs, in_hw, out_hw, out_bucket, flip):
+def resize_accumulate_body(acc, probs, in_hw, out_hw, flip: bool):
     """acc += bilinear_resize(probs[:in_h, :in_w], (out_h, out_w)),
-    un-flipping first, ALL at static bucket shapes.
+    un-flipping first, ALL at static bucket shapes — the in-graph body
+    shared by the standalone jitted _resize_accumulate and the fused
+    member-pair programs (engine.accumulate_member_pair).
 
     probs: [Hb', Wb', C] with the valid member prediction in
     [:in_h, :in_w]; acc: [Hb, Wb, C] with the base image occupying
@@ -110,12 +110,20 @@ def _resize_accumulate(acc, probs, in_hw, out_hw, out_bucket, flip):
     # flip: member was predicted on the flipped image
     wc = bilinear_resize_weights(acc.shape[1], probs.shape[1], out_w,
                                  in_w, flip)
-    del out_bucket
     tmp = jnp.einsum("oi,iwc->owc", wr, probs,
                      preferred_element_type=jnp.float32)
     res = jnp.einsum("pw,owc->opc", wc, tmp,
                      preferred_element_type=jnp.float32)
     return acc + res
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_bucket", "flip"))
+def _resize_accumulate(acc, probs, in_hw, out_hw, out_bucket, flip):
+    """Jitted resize_accumulate_body (out_bucket is implied by acc's
+    static shape; kept in the signature for call-site clarity)."""
+    del out_bucket
+    return resize_accumulate_body(acc, probs, in_hw, out_hw, flip)
 
 
 def _msc_accumulate_device(engine, image: np.ndarray, member_args,
@@ -133,7 +141,7 @@ def _msc_accumulate_device(engine, image: np.ndarray, member_args,
     base_hw = jnp.asarray([h, w], jnp.int32)
 
     flips = [False, True] if is_flip else [False]
-    use_pair = is_flip and hasattr(engine, "predict_member_pair_probs")
+    use_pair = is_flip and hasattr(engine, "accumulate_member_pair")
     acc = None
     n = 0
     out_hw = jnp.asarray([h, w], jnp.int32)
@@ -141,16 +149,15 @@ def _msc_accumulate_device(engine, image: np.ndarray, member_args,
         member_hw = (int(h * scale), int(w * scale))
         in_hw = jnp.asarray(member_hw, jnp.int32)
         if use_pair:
-            # both flips of this scale in ONE fused program (shared
-            # embed batch; engine._fused_member_pair_impl)
-            pair = engine.predict_member_pair_probs(
-                base_dev, base_hw, member_hw, *member_args)
+            # both flips of this scale + their resize/un-flip/
+            # accumulates in ONE fused program with a donated
+            # accumulator (engine.accumulate_member_pair): one dispatch
+            # per scale — each dispatch is a tunnel round-trip here
             if acc is None:
-                acc = jnp.zeros(base_b + (pair.shape[-1],), jnp.float32)
-            acc = _resize_accumulate(acc, pair[0], in_hw, out_hw,
-                                     out_bucket=base_b, flip=False)
-            acc = _resize_accumulate(acc, pair[1], in_hw, out_hw,
-                                     out_bucket=base_b, flip=True)
+                C = engine.config.dataset.num_classes
+                acc = jnp.zeros(base_b + (C,), jnp.float32)
+            acc = engine.accumulate_member_pair(
+                acc, base_dev, base_hw, member_hw, out_hw, *member_args)
             n += 2
             continue
         for f in flips:

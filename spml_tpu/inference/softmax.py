@@ -51,6 +51,9 @@ class SoftmaxInferenceEngine:
         self._fused_member_pair = jax.jit(
             self._fused_member_pair_impl,
             static_argnames=("member_bucket",))
+        self._member_pair_acc = jax.jit(
+            self._member_pair_acc_impl,
+            static_argnames=("member_bucket",), donate_argnums=(0,))
 
     def bucket_shape(self, h: int, w: int) -> tuple[int, int]:
         if not self.pad_buckets:
@@ -131,6 +134,25 @@ class SoftmaxInferenceEngine:
             base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
             member_bucket=member_bucket)
 
+    def _member_pair_acc_impl(self, acc, base_img, base_hw, member_hw,
+                              out_hw, member_bucket):
+        """Pair + both accumulates in one program, acc donated
+        (mirrors engine._member_pair_acc_impl)."""
+        from spml_tpu.inference import msc as msc_lib
+        pair = self._fused_member_pair_impl(
+            base_img, base_hw, member_hw, member_bucket=member_bucket)
+        acc = msc_lib.resize_accumulate_body(acc, pair[0], member_hw,
+                                             out_hw, flip=False)
+        return msc_lib.resize_accumulate_body(acc, pair[1], member_hw,
+                                              out_hw, flip=True)
+
+    def accumulate_member_pair(self, acc, base_dev, base_hw,
+                               member_hw: tuple, out_hw):
+        member_bucket = self.bucket_shape(*member_hw)
+        return self._member_pair_acc(
+            acc, base_dev, base_hw, jnp.asarray(member_hw, jnp.int32),
+            out_hw, member_bucket=member_bucket)
+
     def warmup(self, max_hw: int | None = None,
                device_pyramid: bool = False) -> list:
         """AOT-compile the bucket programs (see engine.warmup)."""
@@ -151,15 +173,18 @@ class SoftmaxInferenceEngine:
         for ph in hs:
             for pw in ws:
                 if device_pyramid:
+                    c = cfg.dataset.num_classes
                     for bh in bhs:
                         for bw in bws:
                             thunks.append(
-                                lambda bh=bh, bw=bw, ph=ph, pw=pw:
-                                self._fused_member_pair(
+                                lambda bh=bh, bw=bw, ph=ph, pw=pw, c=c:
+                                self._member_pair_acc(
+                                    jnp.zeros((bh, bw, c), jnp.float32),
                                     jnp.zeros((bh, bw, 3),
                                               self._img_dtype),
                                     jnp.asarray([bh, bw], jnp.int32),
                                     jnp.asarray([ph, pw], jnp.int32),
+                                    jnp.asarray([bh, bw], jnp.int32),
                                     member_bucket=(ph, pw)))
                 else:
                     thunks.append(lambda ph=ph, pw=pw:
