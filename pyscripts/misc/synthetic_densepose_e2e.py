@@ -8,10 +8,19 @@ label remap under mirroring, POINT supervision (sparse labeled pixels,
 segsort_softmax_densepose.py:174-193), and the no-memory-bank recipe
 (bashscripts/densepose/train_spml_point.sh:14-44).
 
-Figures have a left/right hand pair placed on their anatomical sides so
-random mirroring MUST remap labels 2<->3 for training to converge —
-the remap correctness is observable in the final mIoU, not just a unit
-test.
+Figures have a left/right hand pair with IDENTICAL appearance (like
+real anatomy), distinguishable only by pose context: the head sits
+offset toward the figure's anatomical right, so a hand's laterality is
+inferable from which side of the head it is on. Random mirroring MUST
+remap labels 2<->3 to keep that context consistent — if the remap were
+missing or inverted, hand labels would be anti-correlated with context
+on half the samples and both hand classes would collapse; the remap's
+correctness is observable in the final mIoU, not just a unit test.
+(An earlier version colored the two hands differently and kept the
+figure symmetric — that makes laterality information-theoretically
+unlearnable under mirroring: color is 50/50 re-labeled and there is no
+other cue, so KNN ties broke to the lower class id and 'left hand'
+scored 0. See DENSEPOSE_E2E history.)
 
 Pipeline: point training from random init -> memory-bank prototypes
 over the train split (dense labels, as the reference builds prototypes
@@ -37,8 +46,9 @@ N_CLASSES = 15  # the DensePose 15-part label space (remap table size)
 SIZE = 160
 # class ids (densepose naming): 1 torso, 2 right hand, 3 left hand,
 # 14 head
+# both hands share a color: laterality must come from pose context
 PART_COLORS = {0: [45, 85, 55], 1: [200, 60, 60], 2: [60, 80, 200],
-               3: [220, 200, 70], 14: [150, 70, 180]}
+               3: [60, 80, 200], 14: [150, 70, 180]}
 
 
 def _points(rng, sem, per_class=12, block=2):
@@ -68,13 +78,14 @@ def make_world(root, rng, n_train=48, n_val=12):
         is_train = i < n_train
         sem = np.zeros((SIZE, SIZE), np.uint8)
         inst = np.zeros((SIZE, SIZE), np.uint8)
-        # one "figure": torso ellipse, head above, right hand on the
+        # one "figure": torso ellipse, head above OFFSET to the
+        # figure's right (the asymmetry cue), right hand on the
         # figure's right (image LEFT), left hand on the image RIGHT —
         # mirroring must swap 2<->3 to stay anatomically consistent
         cy = rng.randint(70, SIZE - 50)
         cx = rng.randint(55, SIZE - 55)
         torso = (((yy - cy) / 28.0) ** 2 + ((xx - cx) / 16.0) ** 2) < 1
-        head = ((yy - (cy - 38)) ** 2 + (xx - cx) ** 2) < 13 ** 2
+        head = ((yy - (cy - 38)) ** 2 + (xx - (cx - 14)) ** 2) < 13 ** 2
         rhand = ((yy - (cy - 8)) ** 2 + (xx - (cx - 28)) ** 2) < 11 ** 2
         lhand = ((yy - (cy - 8)) ** 2 + (xx - (cx + 28)) ** 2) < 11 ** 2
         for cls, m in ((1, torso), (14, head), (2, rhand), (3, lhand)):
