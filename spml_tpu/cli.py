@@ -181,17 +181,31 @@ def save_semantic_pngs(pred: np.ndarray, base_name: str, save_dir: str,
 
 
 def iterate_test_images(config, data_dir, data_list):
-    """Yields (index, base_name, image[H,W,3] normalized, sem, inst)."""
+    """Yields (index, base_name, image[H,W,3] normalized, sem, inst).
+
+    Loads one item ahead on a background thread (PIL/numpy release the
+    GIL) so the next image's decode + normalization overlap the
+    caller's device work; the reference loads serially per image
+    (inference.py:114-124)."""
+    import concurrent.futures
     from spml_tpu.data import datasets
     ds = datasets.ListDataset(
         data_dir, data_list, img_mean=config.network.pixel_means,
         img_std=config.network.pixel_stds, size=None, training=False)
-    for i in range(len(ds)):
+
+    def _load(i):
         item = ds[i]
         base = os.path.basename(ds.image_paths[i])
         base = os.path.splitext(base)[0] + ".png"
-        yield (i, base, item["image"], item.get("semantic_label"),
-               item.get("instance_label"))
+        return (i, base, item["image"], item.get("semantic_label"),
+                item.get("instance_label"))
+
+    with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(_load, 0) if len(ds) else None
+        for i in range(len(ds)):
+            cur = fut.result()
+            fut = pool.submit(_load, i + 1) if i + 1 < len(ds) else None
+            yield cur
 
 
 def denormalize_image(image: np.ndarray, config) -> np.ndarray:
