@@ -55,10 +55,12 @@ class _AsyncSink:
             self._pending.pop(0).result()
 
     def close(self):
-        for f in self._pending:
-            f.result()
-        self._pending.clear()
-        self._pool.shutdown()
+        try:
+            for f in self._pending:
+                f.result()
+        finally:
+            self._pending.clear()
+            self._pool.shutdown(wait=True)
 
     def __enter__(self):
         return self
