@@ -49,18 +49,74 @@ void FilterSymmetric(const Kernel& k, const float* in, float* out, int n,
   k.lattice.Compute(in, out, c, k.inv_sqrt_norm.data());
 }
 
-void ExpAndNormalize(const float* in, float* q, int n, int c) {
+// Branchless Cephes-style expf (|rel err| < 3e-7 on [-87, 0]); written
+// with bit-cast scaling so gcc auto-vectorizes it under `omp simd`.
+// Arguments here are always <= 0 (max-subtracted), so only the
+// underflow side needs clamping. The softmax renormalization below
+// absorbs the tiny relative error, and the CRF output is consumed
+// through argmax / loosely-tolerant marginals.
+inline float FastExp(float x) {
+  x = std::max(x, -87.0f);
+  const float z = x * 1.44269504089f;  // x / ln 2
+  const float n = std::floor(z + 0.5f);
+  // Extended-precision argument reduction (Cephes split of ln 2).
+  x = x - n * 0.693359375f - n * -2.12194440e-4f;
+  float p = 1.9875691500e-4f;
+  p = p * x + 1.3981999507e-3f;
+  p = p * x + 8.3334519073e-3f;
+  p = p * x + 4.1665795894e-2f;
+  p = p * x + 1.6666665459e-1f;
+  p = p * x + 5.0000001201e-1f;
+  const float y = p * x * x + x + 1.0f;
+  const int32_t e = static_cast<int32_t>(n) + 127;
+  uint32_t bits = static_cast<uint32_t>(e) << 23;
+  float scale;
+  std::memcpy(&scale, &bits, sizeof(scale));
+  return y * scale;
+}
+
+// Softmax over each length-c row of `in` into `q`.
+//
+// When the inputs are known to be bounded (|x| <= bound << 87), the
+// per-row max-subtraction cancels mathematically in the normalization
+// and is skipped: the exp runs as ONE flat pass over all n*c elements,
+// which vectorizes far better than per-row length-21 loops (43 ->
+// ~12 ms for 512*512*21 on one AVX-512 core). Callers pass `bound` =
+// a cheap upper bound on |in|; anything >= 80 falls back to the safe
+// max-subtracted form.
+void ExpAndNormalize(const float* in, float* q, int n, int c,
+                     float bound = 1e30f) {
+  if (bound < 80.f) {
+    const std::size_t total = static_cast<std::size_t>(n) * c;
+#pragma omp parallel for simd schedule(static)
+    for (std::size_t j = 0; j < total; ++j) q[j] = FastExp(in[j]);
+#pragma omp parallel for schedule(static)
+    for (int i = 0; i < n; ++i) {
+      float* __restrict dst = q + static_cast<std::size_t>(i) * c;
+      float sum = 0.f;
+#pragma omp simd reduction(+ : sum)
+      for (int j = 0; j < c; ++j) sum += dst[j];
+      const float inv = 1.f / sum;
+#pragma omp simd
+      for (int j = 0; j < c; ++j) dst[j] *= inv;
+    }
+    return;
+  }
+#pragma omp parallel for schedule(static)
   for (int i = 0; i < n; ++i) {
-    const float* row = in + static_cast<std::size_t>(i) * c;
+    const float* __restrict row = in + static_cast<std::size_t>(i) * c;
     float mx = row[0];
     for (int j = 1; j < c; ++j) mx = std::max(mx, row[j]);
     float sum = 0.f;
-    float* dst = q + static_cast<std::size_t>(i) * c;
+    float* __restrict dst = q + static_cast<std::size_t>(i) * c;
+#pragma omp simd reduction(+ : sum)
     for (int j = 0; j < c; ++j) {
-      dst[j] = std::exp(row[j] - mx);
-      sum += dst[j];
+      const float e = FastExp(row[j] - mx);
+      dst[j] = e;
+      sum += e;
     }
     const float inv = 1.f / sum;
+#pragma omp simd
     for (int j = 0; j < c; ++j) dst[j] *= inv;
   }
 }
@@ -146,17 +202,29 @@ void crf2d_inference(void* handle, int n_iter, float* out) {
   std::vector<float> tmp(static_cast<std::size_t>(n) * c);
   std::vector<float> filtered(static_cast<std::size_t>(n) * c);
 
+  // |field| bound for the flat-softmax fast path: unary is
+  // -log(clamp(p, 1e-8)) <= 18.5, each kernel contributes at most
+  // ~|weight| (normalized filter of q in [0,1]; factor 2 covers the
+  // lattice-approximation slop). Exceeds 80 only for absurd weights,
+  // which fall back to the max-subtracted form.
+  float bound = 18.5f;
+  for (const spml::Kernel& k : m->kernels) bound += 2.f * std::abs(k.weight);
+
   for (std::size_t i = 0; i < neg_u.size(); ++i) neg_u[i] = -m->unary[i];
-  spml::ExpAndNormalize(neg_u.data(), q.data(), n, c);
+  spml::ExpAndNormalize(neg_u.data(), q.data(), n, c, bound);
 
   for (int it = 0; it < n_iter; ++it) {
     std::memcpy(tmp.data(), neg_u.data(), neg_u.size() * sizeof(float));
     for (const spml::Kernel& k : m->kernels) {
       spml::FilterSymmetric(k, q.data(), filtered.data(), n, c);
-      for (std::size_t i = 0; i < tmp.size(); ++i)
-        tmp[i] += k.weight * filtered[i];
+      const float wgt = k.weight;
+      float* __restrict t = tmp.data();
+      const float* __restrict f = filtered.data();
+      const std::size_t sz = tmp.size();
+#pragma omp parallel for simd schedule(static)
+      for (std::size_t i = 0; i < sz; ++i) t[i] += wgt * f[i];
     }
-    spml::ExpAndNormalize(tmp.data(), q.data(), n, c);
+    spml::ExpAndNormalize(tmp.data(), q.data(), n, c, bound);
   }
 
   // [N, C] -> [C, H, W]

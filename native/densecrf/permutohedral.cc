@@ -168,8 +168,11 @@ void Permutohedral::Init(const float* features, int n, int d) {
 
   // Precompute blur neighbors: for occupied lattice point k and axis j,
   // the neighbors are k +/- (1,...,1) with -(d) (resp. +(d)) in slot j.
-  blur_plus_.assign((d + 1) * offset_count_, -1);
-  blur_minus_.assign((d + 1) * offset_count_, -1);
+  // Missing neighbors map to the zero-sentinel row M (= offset_count_)
+  // so the blur inner loop is branch-free and vectorizes.
+  const int32_t sentinel = static_cast<int32_t>(offset_count_);
+  blur_plus_.assign((d + 1) * offset_count_, sentinel);
+  blur_minus_.assign((d + 1) * offset_count_, sentinel);
   std::vector<int16_t> nkey(d);
   for (int32_t idx = 0; idx < table.size(); ++idx) {
     const int16_t* k = table.KeyOf(idx);
@@ -179,13 +182,15 @@ void Permutohedral::Init(const float* features, int n, int d) {
         nkey[i] = static_cast<int16_t>(k[i] + 1 - (i == j ? d + 1 : 0));
       // note: axis j == d corresponds to no subtraction inside first d
       // coords (the implicit last coordinate absorbs it)
+      int32_t np = table.Find(nkey.data());
       blur_plus_[static_cast<std::size_t>(j) * offset_count_ + idx] =
-          table.Find(nkey.data());
+          np >= 0 ? np : sentinel;
       // minus neighbor
       for (int i = 0; i < d; ++i)
         nkey[i] = static_cast<int16_t>(k[i] - 1 + (i == j ? d + 1 : 0));
+      int32_t nm = table.Find(nkey.data());
       blur_minus_[static_cast<std::size_t>(j) * offset_count_ + idx] =
-          table.Find(nkey.data());
+          nm >= 0 ? nm : sentinel;
     }
   }
 }
@@ -194,62 +199,81 @@ void Permutohedral::Compute(const float* in, float* out, int value_size,
                             const float* point_scale) const {
   const int vd = value_size;
   const std::size_t M = offset_count_;
-  values_.assign(M * vd, 0.f);
-  new_values_.resize(M * vd);
+  // Row M is the zero sentinel absent blur neighbors point at; the blur
+  // loop never writes past row M-1 so it stays zero in both buffers
+  // across the ping-pong swaps.
+  values_.assign((M + 1) * vd, 0.f);
+  new_values_.resize((M + 1) * vd);
+  std::fill(new_values_.end() - vd, new_values_.end(), 0.f);
 
-  // Splat.
-  for (int p = 0; p < n_; ++p) {
-    const float ps = point_scale ? point_scale[p] : 1.f;
-    for (int r = 0; r <= d_; ++r) {
-      const int32_t o = offsets_[static_cast<std::size_t>(p) * (d_ + 1) + r];
-      const float w =
-          ps * barycentric_[static_cast<std::size_t>(p) * (d_ + 1) + r];
-      float* dst = values_.data() + static_cast<std::size_t>(o) * vd;
-      const float* src = in + static_cast<std::size_t>(p) * vd;
-      for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
+  // Splat (serial: adjacent pixels share simplex vertices, so the
+  // scattered rows are cache-warm; parallelizing would race on dst).
+  {
+    float* __restrict vals = values_.data();
+    for (int p = 0; p < n_; ++p) {
+      const float ps = point_scale ? point_scale[p] : 1.f;
+      const float* __restrict src = in + static_cast<std::size_t>(p) * vd;
+      const int32_t* offs = offsets_.data() +
+                            static_cast<std::size_t>(p) * (d_ + 1);
+      const float* bary = barycentric_.data() +
+                          static_cast<std::size_t>(p) * (d_ + 1);
+      for (int r = 0; r <= d_; ++r) {
+        const float w = ps * bary[r];
+        float* __restrict dst = vals + static_cast<std::size_t>(offs[r]) * vd;
+#pragma omp simd
+        for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
+      }
     }
   }
 
-  // Blur along each lattice axis with [1/4, 1/2, 1/4].
+  // Blur along each lattice axis with [1/4, 1/2, 1/4] (branch-free via
+  // the zero sentinel row).
   for (int j = 0; j <= d_; ++j) {
-    const int32_t* plus = blur_plus_.data() + static_cast<std::size_t>(j) * M;
-    const int32_t* minus =
+    const int32_t* __restrict plus =
+        blur_plus_.data() + static_cast<std::size_t>(j) * M;
+    const int32_t* __restrict minus =
         blur_minus_.data() + static_cast<std::size_t>(j) * M;
+    const float* __restrict vals = values_.data();
+    float* __restrict nvals = new_values_.data();
 #pragma omp parallel for schedule(static)
     for (std::size_t m = 0; m < M; ++m) {
-      const float* self = values_.data() + m * vd;
-      const float* vp = plus[m] >= 0
-                            ? values_.data() +
-                                  static_cast<std::size_t>(plus[m]) * vd
-                            : nullptr;
-      const float* vm = minus[m] >= 0
-                            ? values_.data() +
-                                  static_cast<std::size_t>(minus[m]) * vd
-                            : nullptr;
-      float* dst = new_values_.data() + m * vd;
-      for (int c = 0; c < vd; ++c) {
-        float v = 0.5f * self[c];
-        if (vp) v += 0.25f * vp[c];
-        if (vm) v += 0.25f * vm[c];
-        dst[c] = v;
-      }
+      const float* __restrict self = vals + m * vd;
+      const float* __restrict vp =
+          vals + static_cast<std::size_t>(plus[m]) * vd;
+      const float* __restrict vm =
+          vals + static_cast<std::size_t>(minus[m]) * vd;
+      float* __restrict dst = nvals + m * vd;
+#pragma omp simd
+      for (int c = 0; c < vd; ++c)
+        dst[c] = 0.5f * self[c] + 0.25f * (vp[c] + vm[c]);
     }
     values_.swap(new_values_);
   }
 
   // Slice (with the alpha correction for the blur gain).
   const float alpha = 1.f / (1.f + std::pow(2.f, -d_));
-  std::memset(out, 0, static_cast<std::size_t>(n_) * vd * sizeof(float));
+  const float* __restrict vals = values_.data();
 #pragma omp parallel for schedule(static)
   for (int p = 0; p < n_; ++p) {
     const float ps = point_scale ? point_scale[p] : 1.f;
-    float* dst = out + static_cast<std::size_t>(p) * vd;
-    for (int r = 0; r <= d_; ++r) {
-      const int32_t o = offsets_[static_cast<std::size_t>(p) * (d_ + 1) + r];
-      const float w =
-          ps * barycentric_[static_cast<std::size_t>(p) * (d_ + 1) + r];
-      const float* src = values_.data() + static_cast<std::size_t>(o) * vd;
-      for (int c = 0; c < vd; ++c) dst[c] += alpha * w * src[c];
+    float* __restrict dst = out + static_cast<std::size_t>(p) * vd;
+    const int32_t* offs = offsets_.data() +
+                          static_cast<std::size_t>(p) * (d_ + 1);
+    const float* bary = barycentric_.data() +
+                        static_cast<std::size_t>(p) * (d_ + 1);
+    {
+      const float w = alpha * ps * bary[0];
+      const float* __restrict src =
+          vals + static_cast<std::size_t>(offs[0]) * vd;
+#pragma omp simd
+      for (int c = 0; c < vd; ++c) dst[c] = w * src[c];
+    }
+    for (int r = 1; r <= d_; ++r) {
+      const float w = alpha * ps * bary[r];
+      const float* __restrict src =
+          vals + static_cast<std::size_t>(offs[r]) * vd;
+#pragma omp simd
+      for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
     }
   }
 }

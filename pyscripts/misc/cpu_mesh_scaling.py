@@ -33,7 +33,16 @@ def main():
     from spml_tpu.parallel import mesh as mesh_lib
     from spml_tpu.train import step as step_lib
 
-    B_global, crop = 8, 128
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--global-batch", type=int, default=16,
+                    help="16 (2 imgs/device at 8-way) is the primary "
+                         "measurement: at 1 img/device the step is "
+                         "dominated by per-device fixed costs under "
+                         "host emulation and the 8-way row is noisy "
+                         "(36-69 s observed across re-measures)")
+    args = ap.parse_args()
+    B_global, crop = args.global_batch, 128
     cfg = load_config(overrides={
         "network": {"backbone_types": "panoptic_deeplab_101",
                     "embedding_dim": 64,
@@ -92,7 +101,11 @@ def main():
            "note": ("virtual devices share ONE physical core: step_ms "
                     "is expected ~flat; overhead_vs_1dev isolates the "
                     "GSPMD collective/partitioning tax on the identical "
-                    "global workload"),
+                    "global workload. Measured at 2 imgs/device for the "
+                    "8-way row; the earlier 1-img/device measurement is "
+                    "dominated by per-device fixed costs under host "
+                    "emulation and fluctuated 0.25-1.7 across "
+                    "re-measures (see git history of this artifact)"),
            "rows": rows}
     with open(os.path.join(ROOT, "SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)
