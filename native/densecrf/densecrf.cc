@@ -12,16 +12,29 @@
 #include <cmath>
 #include <cstring>
 #include <memory>
+#include <mutex>
+#include <utility>
 #include <vector>
 
 #include "permutohedral.h"
 
 namespace spml {
 
-struct Kernel {
+// A built pairwise kernel: lattice + symmetric normalization. Shared
+// (read-only) between CRF models when cached — the Gaussian kernel's
+// features are pixel positions only, so for a fixed (W, H, sx, sy) the
+// lattice is identical across images and worth reusing (its
+// construction is ~15% of a 512x512x21 CRF).
+struct BuiltKernel {
   Permutohedral lattice;
-  float weight = 1.f;
   std::vector<float> inv_sqrt_norm;  // [N] symmetric normalization
+};
+
+struct Kernel {
+  std::shared_ptr<const BuiltKernel> built;
+  float weight = 1.f;
+  // Per-model ping-pong scratch so concurrent models can share `built`.
+  mutable LatticeScratch scratch;
 };
 
 struct CrfModel {
@@ -34,19 +47,63 @@ struct CrfModel {
 
 namespace {
 
-void BuildNorm(Kernel* k, int n) {
+std::shared_ptr<BuiltKernel> BuildKernel(const float* feats, int n, int d) {
+  auto k = std::make_shared<BuiltKernel>();
+  k->lattice.Init(feats, n, d);
+  LatticeScratch scratch;
   std::vector<float> ones(n, 1.f);
   std::vector<float> norm(n, 0.f);
-  k->lattice.Compute(ones.data(), norm.data(), 1);
+  k->lattice.Compute(ones.data(), norm.data(), 1, nullptr, &scratch);
   k->inv_sqrt_norm.resize(n);
   for (int i = 0; i < n; ++i)
     k->inv_sqrt_norm[i] = 1.f / std::sqrt(std::max(norm[i], 1e-20f));
+  return k;
 }
 
-void FilterSymmetric(const Kernel& k, const float* in, float* out, int n,
-                     int c) {
-  // symmetric normalization s_i K s_j folded into splat/slice weights
-  k.lattice.Compute(in, out, c, k.inv_sqrt_norm.data());
+// LRU cache of Gaussian (position-only) kernels keyed by (w, h, sx, sy).
+// Entries are shared_ptr-held so eviction never invalidates a model
+// still filtering with one; per-model scratch keeps shared use
+// race-free. Typical segmentation runs see a handful of image sizes
+// (VOC12 is dominated by 500x375 / 375x500), so hits are common.
+struct GaussKey {
+  int w, h;
+  float sx, sy;
+  bool operator==(const GaussKey& o) const {
+    return w == o.w && h == o.h && sx == o.sx && sy == o.sy;
+  }
+};
+
+std::shared_ptr<const BuiltKernel> GaussianKernelCached(
+    int w, int h, float sx, float sy) {
+  static std::mutex mu;
+  static std::vector<std::pair<GaussKey, std::shared_ptr<const BuiltKernel>>>
+      cache;  // most-recently-used at the back; capacity 8
+  const GaussKey key{w, h, sx, sy};
+  {
+    std::lock_guard<std::mutex> lock(mu);
+    for (std::size_t i = 0; i < cache.size(); ++i)
+      if (cache[i].first == key) {
+        auto hit = cache[i].second;
+        cache.erase(cache.begin() + i);
+        cache.emplace_back(key, hit);
+        return hit;
+      }
+  }
+  const int n = w * h;
+  std::vector<float> feats(static_cast<std::size_t>(n) * 2);
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      const std::size_t i = static_cast<std::size_t>(y) * w + x;
+      feats[i * 2 + 0] = x / sx;
+      feats[i * 2 + 1] = y / sy;
+    }
+  std::shared_ptr<const BuiltKernel> built = BuildKernel(feats.data(), n, 2);
+  {
+    std::lock_guard<std::mutex> lock(mu);
+    if (cache.size() >= 8) cache.erase(cache.begin());
+    cache.emplace_back(key, built);
+  }
+  return built;
 }
 
 // Branchless Cephes-style expf (|rel err| < 3e-7 on [-87, 0]); written
@@ -73,6 +130,41 @@ inline float FastExp(float x) {
   float scale;
   std::memcpy(&scale, &bits, sizeof(scale));
   return y * scale;
+}
+
+// Branchless Cephes-style logf for POSITIVE NORMAL floats (the unary
+// path clamps probabilities to [1e-8, +inf) first, so no zero/denormal/
+// negative handling is needed). |rel err| < ~3e-7; auto-vectorizes
+// under `omp simd` (std::log does not, and the unary transform runs
+// over n*c = 5.5M elements at 512x512x21).
+inline float FastLog(float x) {
+  uint32_t bits;
+  std::memcpy(&bits, &x, sizeof(bits));
+  const int32_t e = static_cast<int32_t>(bits >> 23) - 126;
+  bits = (bits & 0x007fffffu) | 0x3f000000u;  // mantissa in [0.5, 1)
+  float m;
+  std::memcpy(&m, &bits, sizeof(m));
+  float exp_f = static_cast<float>(e);
+  // Pull m toward 1 for a tighter polynomial range (Cephes SQRTHF);
+  // if-converted form so the whole function stays branch-free.
+  const float small = m < 0.707106781186547524f ? 1.f : 0.f;
+  exp_f -= small;
+  m = m + small * m - 1.0f;
+  float p = 7.0376836292e-2f;
+  p = p * m + -1.1514610310e-1f;
+  p = p * m + 1.1676998740e-1f;
+  p = p * m + -1.2420140846e-1f;
+  p = p * m + 1.4249322787e-1f;
+  p = p * m + -1.6668057665e-1f;
+  p = p * m + 2.0000714765e-1f;
+  p = p * m + -2.4999993993e-1f;
+  p = p * m + 3.3333331174e-1f;
+  float r = p * m * m * m;
+  r += -2.12194440e-4f * exp_f;
+  r -= 0.5f * m * m;
+  r = m + r;
+  r += 0.693359375f * exp_f;
+  return r;
 }
 
 // Softmax over each length-c row of `in` into `q`.
@@ -140,33 +232,38 @@ void crf2d_free(void* handle) {
 }
 
 // probs: [C, H, W] class-major (the reference's probmap layout).
+// Two passes: a flat, fully vectorized -log over all n*c elements, then
+// a cache-blocked [C, N] -> [N, C] transpose (block column strip fits
+// L1/L2, so the strided writes stay cache-resident).
 void crf2d_set_unary_from_probs(void* handle, const float* probs) {
   auto* m = static_cast<spml::CrfModel*>(handle);
   const int n = m->n();
-  for (int i = 0; i < n; ++i)
-    for (int j = 0; j < m->c; ++j) {
-      const float p =
-          std::max(probs[static_cast<std::size_t>(j) * n + i], 1e-8f);
-      m->unary[static_cast<std::size_t>(i) * m->c + j] = -std::log(p);
+  const int c = m->c;
+  float* __restrict unary = m->unary.data();
+  constexpr int kBlock = 512;
+#pragma omp parallel for schedule(static)
+  for (int i0 = 0; i0 < n; i0 += kBlock) {
+    const int len = std::min(i0 + kBlock, n) - i0;
+    alignas(64) float buf[kBlock];
+    for (int j = 0; j < c; ++j) {
+      const float* __restrict src =
+          probs + static_cast<std::size_t>(j) * n + i0;
+      for (int t = 0; t < len; ++t)
+        buf[t] = -spml::FastLog(std::max(src[t], 1e-8f));
+      float* __restrict dst = unary + static_cast<std::size_t>(i0) * c + j;
+      for (int t = 0; t < len; ++t)
+        dst[static_cast<std::size_t>(t) * c] = buf[t];
     }
+  }
 }
 
 void crf2d_add_pairwise_gaussian(void* handle, float sx, float sy,
                                  float weight) {
   auto* m = static_cast<spml::CrfModel*>(handle);
-  const int n = m->n();
-  std::vector<float> feats(static_cast<std::size_t>(n) * 2);
-  for (int y = 0; y < m->h; ++y)
-    for (int x = 0; x < m->w; ++x) {
-      const std::size_t i = static_cast<std::size_t>(y) * m->w + x;
-      feats[i * 2 + 0] = x / sx;
-      feats[i * 2 + 1] = y / sy;
-    }
   m->kernels.emplace_back();
   spml::Kernel& k = m->kernels.back();
   k.weight = weight;
-  k.lattice.Init(feats.data(), n, 2);
-  spml::BuildNorm(&k, n);
+  k.built = spml::GaussianKernelCached(m->w, m->h, sx, sy);
 }
 
 // rgb: [H, W, 3] uint8.
@@ -188,8 +285,7 @@ void crf2d_add_pairwise_bilateral(void* handle, float sx, float sy,
   m->kernels.emplace_back();
   spml::Kernel& k = m->kernels.back();
   k.weight = weight;
-  k.lattice.Init(feats.data(), n, 5);
-  spml::BuildNorm(&k, n);
+  k.built = spml::BuildKernel(feats.data(), n, 5);
 }
 
 // out: [C, H, W] refined marginals.
@@ -200,7 +296,6 @@ void crf2d_inference(void* handle, int n_iter, float* out) {
   std::vector<float> q(static_cast<std::size_t>(n) * c);
   std::vector<float> neg_u(static_cast<std::size_t>(n) * c);
   std::vector<float> tmp(static_cast<std::size_t>(n) * c);
-  std::vector<float> filtered(static_cast<std::size_t>(n) * c);
 
   // |field| bound for the flat-softmax fast path: unary is
   // -log(clamp(p, 1e-8)) <= 18.5, each kernel contributes at most
@@ -215,15 +310,12 @@ void crf2d_inference(void* handle, int n_iter, float* out) {
 
   for (int it = 0; it < n_iter; ++it) {
     std::memcpy(tmp.data(), neg_u.data(), neg_u.size() * sizeof(float));
-    for (const spml::Kernel& k : m->kernels) {
-      spml::FilterSymmetric(k, q.data(), filtered.data(), n, c);
-      const float wgt = k.weight;
-      float* __restrict t = tmp.data();
-      const float* __restrict f = filtered.data();
-      const std::size_t sz = tmp.size();
-#pragma omp parallel for simd schedule(static)
-      for (std::size_t i = 0; i < sz; ++i) t[i] += wgt * f[i];
-    }
+    // Each kernel's weighted, symmetric-normalized filter result is
+    // accumulated into `tmp` directly by the fused slice.
+    for (const spml::Kernel& k : m->kernels)
+      k.built->lattice.Compute(q.data(), tmp.data(), c,
+                               k.built->inv_sqrt_norm.data(), &k.scratch,
+                               k.weight, /*accumulate=*/true);
     spml::ExpAndNormalize(tmp.data(), q.data(), n, c, bound);
   }
 

@@ -196,12 +196,16 @@ void Permutohedral::Init(const float* features, int n, int d) {
 }
 
 void Permutohedral::Compute(const float* in, float* out, int value_size,
-                            const float* point_scale) const {
+                            const float* point_scale,
+                            LatticeScratch* scratch, float out_weight,
+                            bool accumulate) const {
   const int vd = value_size;
   const std::size_t M = offset_count_;
   // Row M is the zero sentinel absent blur neighbors point at; the blur
   // loop never writes past row M-1 so it stays zero in both buffers
   // across the ping-pong swaps.
+  std::vector<float>& values_ = scratch->values;
+  std::vector<float>& new_values_ = scratch->new_values;
   values_.assign((M + 1) * vd, 0.f);
   new_values_.resize((M + 1) * vd);
   std::fill(new_values_.end() - vd, new_values_.end(), 0.f);
@@ -250,8 +254,10 @@ void Permutohedral::Compute(const float* in, float* out, int value_size,
     values_.swap(new_values_);
   }
 
-  // Slice (with the alpha correction for the blur gain).
-  const float alpha = 1.f / (1.f + std::pow(2.f, -d_));
+  // Slice (with the alpha correction for the blur gain), scaled by
+  // out_weight; accumulate=true fuses the caller's "+= weight * result"
+  // so no [N, vd] intermediate ever materializes.
+  const float alpha = out_weight / (1.f + std::pow(2.f, -d_));
   const float* __restrict vals = values_.data();
 #pragma omp parallel for schedule(static)
   for (int p = 0; p < n_; ++p) {
@@ -265,8 +271,13 @@ void Permutohedral::Compute(const float* in, float* out, int value_size,
       const float w = alpha * ps * bary[0];
       const float* __restrict src =
           vals + static_cast<std::size_t>(offs[0]) * vd;
+      if (accumulate) {
 #pragma omp simd
-      for (int c = 0; c < vd; ++c) dst[c] = w * src[c];
+        for (int c = 0; c < vd; ++c) dst[c] += w * src[c];
+      } else {
+#pragma omp simd
+        for (int c = 0; c < vd; ++c) dst[c] = w * src[c];
+      }
     }
     for (int r = 1; r <= d_; ++r) {
       const float w = alpha * ps * bary[r];

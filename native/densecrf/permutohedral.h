@@ -13,6 +13,12 @@
 // allocation and pointer chase per probe, which made lattice
 // construction as expensive as ten mean-field iterations (6.3 s of a
 // 13 s 512x512x21 CRF; ~0.5 s with the flat table).
+//
+// Compute() is const and takes caller-owned scratch, so one lattice can
+// be shared (read-only) by concurrent filter calls — the Gaussian
+// pairwise lattice depends only on (W, H, sx, sy) and is LRU-cached
+// across images in densecrf.cc while the CRF worker pool runs tails in
+// parallel.
 
 #pragma once
 
@@ -20,6 +26,12 @@
 #include <vector>
 
 namespace spml {
+
+// Ping-pong lattice-value buffers reused across Compute calls. Owned by
+// the caller (one per concurrent filter stream), sized inside Compute.
+struct LatticeScratch {
+  std::vector<float> values, new_values;
+};
 
 class Permutohedral {
  public:
@@ -33,8 +45,13 @@ class Permutohedral {
   // the way in (splat) AND its result on the way out (slice) — the
   // symmetric normalization s_i * K(f_i, f_j) * s_j folded into the
   // barycentric weights instead of two extra full-array passes.
+  // The sliced result is scaled by `out_weight` and either stored to or
+  // accumulated into `out` (accumulate=true fuses the mean-field
+  // "+= weight * filtered" update into the slice, saving a full [N, C]
+  // intermediate round-trip per kernel per iteration).
   void Compute(const float* in, float* out, int value_size,
-               const float* point_scale = nullptr) const;
+               const float* point_scale, LatticeScratch* scratch,
+               float out_weight = 1.f, bool accumulate = false) const;
 
   int num_lattice_points() const { return static_cast<int>(offset_count_); }
 
@@ -48,9 +65,6 @@ class Permutohedral {
   std::vector<int32_t> blur_plus_;
   std::vector<int32_t> blur_minus_;
   std::size_t offset_count_ = 0;     // M = number of occupied lattice pts
-  // Scratch reused across Compute calls (lattice values ping/pong);
-  // mutable so Compute stays const for callers.
-  mutable std::vector<float> values_, new_values_;
 };
 
 }  // namespace spml

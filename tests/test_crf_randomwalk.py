@@ -95,3 +95,31 @@ def test_densecrf_denoises_and_preserves():
     uni = np.full((C, H, W), 1.0 / C, np.float32)
     out_u = crf(img, uni)
     np.testing.assert_allclose(out_u, 1.0 / C, atol=1e-3)
+
+
+def test_densecrf_threaded_matches_serial():
+    """The Gaussian lattice is LRU-cached and SHARED across same-sized
+    images (native/densecrf/densecrf.cc::GaussianKernelCached) while the
+    inference runner's _AsyncSink pool runs CRF tails concurrently.
+    Filtering through a shared lattice must be race-free (per-model
+    scratch): N threads over same-size inputs must reproduce the serial
+    outputs bitwise."""
+    import concurrent.futures as cf
+
+    from spml_tpu.crf import DenseCRF
+
+    rng = np.random.RandomState(1)
+    H, W, C = 40, 56, 5
+    crf = DenseCRF(iter_max=5, pos_w=3, pos_xy_std=3, bi_w=4,
+                   bi_xy_std=30, bi_rgb_std=5)
+    cases = []
+    for _ in range(6):
+        img = rng.randint(0, 256, (H, W, 3)).astype(np.uint8)
+        probs = rng.dirichlet(np.ones(C), (H, W)).transpose(2, 0, 1)
+        cases.append((img, np.ascontiguousarray(probs, np.float32)))
+
+    serial = [crf(img, p) for img, p in cases]
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        threaded = list(pool.map(lambda a: crf(*a), cases))
+    for s, t in zip(serial, threaded):
+        np.testing.assert_array_equal(s, t)
