@@ -104,12 +104,18 @@ def make_world(root, rng, n_train=48, n_val=12):
                 f"{'scribble' if is_train else 'segcls'}/{base}.png "
                 f"seginst/{base}.png")
         (train_lines if is_train else val_lines).append(line)
-        # memory list uses the scribble labels too (the reference builds
-        # prototypes from the train annotations)
     with open(os.path.join(root, "train.txt"), "w") as f:
         f.write("\n".join(train_lines) + "\n")
     with open(os.path.join(root, "val.txt"), "w") as f:
         f.write("\n".join(val_lines) + "\n")
+    # The memory-bank/prototype stage uses DENSE labels, mirroring the
+    # reference pipeline: MEMORY_DATA_LIST=panoptic_train+_hed.txt points
+    # at segcls, not the weak scribbles (train_spml_scribble.sh:74,137 —
+    # weak labels only supervise the embedding training).
+    with open(os.path.join(root, "memory.txt"), "w") as f:
+        f.write("\n".join(
+            ln.replace("scribble/", "segcls/") for ln in train_lines)
+            + "\n")
 
 
 def main():
@@ -117,6 +123,11 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--root", default="/tmp/synth_e2e")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train.seed offset (init/shuffle/aug); the "
+                         "world itself stays fixed at seed 7")
+    ap.add_argument("--out", default=None,
+                    help="output json path (default SYNTH_E2E.json)")
     args = ap.parse_args()
 
     from spml_tpu.config import load_config
@@ -136,7 +147,8 @@ def main():
                     "kmeans_iterations": 10,
                     "bn_momentum": 0.1,  # from-random init
                     "prediction_types": "segsort"},
-        "train": {"batch_size": args.batch, "crop_size": [128, 128],
+        "train": {"seed": args.seed,
+                  "batch_size": args.batch, "crop_size": [128, 128],
                   "memory_bank_size": 2, "max_iteration": args.iters,
                   "snapshot_step": args.iters, "tensorboard_step": 100,
                   "base_lr": 3e-3, "warmup_iteration": 0,
@@ -168,7 +180,9 @@ def main():
     proto_dir = os.path.join(snap, "results", "train")
     runner.run_prototype(
         argparse.Namespace(**{**vars(ns), "snapshot_dir": snap,
-                              "save_dir": proto_dir}),
+                              "save_dir": proto_dir,
+                              "data_list": os.path.join(root,
+                                                        "memory.txt")}),
         cfg, save_clusters=False)
 
     val_dir = os.path.join(snap, "results", "val")
@@ -186,12 +200,14 @@ def main():
             "data_list": os.path.join(root, "val.txt")}),
         cfg)
 
-    out = {"iters": args.iters, "train_s": round(train_s, 1),
+    out = {"iters": args.iters, "seed": args.seed,
+           "train_s": round(train_s, 1),
            "val_miou": round(float(result["mean_iou"]), 4),
            "class_iou": [round(float(x), 3)
                          for x in result["class_iou"]]}
     print(json.dumps(out))
-    with open(os.path.join(ROOT, "SYNTH_E2E.json"), "w") as f:
+    with open(args.out or os.path.join(ROOT, "SYNTH_E2E.json"),
+              "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -47,6 +47,10 @@ class DatasetConfig:
 @dataclass
 class TrainConfig:
     lr_policy: str = "poly"
+    # ours-only: deterministic seed offset for init/shuffle/augmentation
+    # (the reference never seeds — every reference run is an implicit
+    # fresh seed). 0 reproduces the historical default streams bitwise.
+    seed: int = 0
     random_mirror: bool = True
     random_scale: bool = True
     random_crop: bool = True

@@ -108,14 +108,16 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
         img_std=config.network.pixel_stds,
         size=crop, random_crop=config.train.random_crop,
         random_scale=config.train.random_scale,
-        random_mirror=config.train.random_mirror, training=True)
+        random_mirror=config.train.random_mirror, training=True,
+        seed=config.train.seed)
     loader = iter(datasets_lib.Loader(
         dataset, global_batch, shuffle=config.train.shuffle,
+        seed=config.train.seed,
         num_workers=n_dev * config.num_threads))
 
     mesh = mesh_lib.make_mesh()
     state = step_lib.init_state(
-        config, jax.random.PRNGKey(235),
+        config, jax.random.PRNGKey(235 + config.train.seed),
         jnp.zeros((global_batch, crop[0], crop[1], 3)))
 
     ck_dir = os.path.join(args.snapshot_dir, "checkpoints")
@@ -196,9 +198,11 @@ def train_classifier(args, config,
         img_std=config.network.pixel_stds,
         size=crop, random_crop=config.train.random_crop,
         random_scale=config.train.random_scale,
-        random_mirror=config.train.random_mirror, training=True)
+        random_mirror=config.train.random_mirror, training=True,
+        seed=config.train.seed)
     loader = iter(datasets_lib.Loader(
         dataset, global_batch, shuffle=config.train.shuffle,
+        seed=config.train.seed,
         num_workers=n_dev * config.num_threads))
 
     # frozen embedding model from config.network.pretrained (the stage-1
@@ -237,7 +241,8 @@ def train_classifier(args, config,
 
     mesh = mesh_lib.make_mesh()
     state = cstep_lib.init_classifier_state(
-        config, jax.random.PRNGKey(235), config.network.embedding_dim)
+        config, jax.random.PRNGKey(235 + config.train.seed),
+        config.network.embedding_dim)
     ck_dir = os.path.join(args.snapshot_dir, "checkpoints")
     start = config.train.begin_iteration
     if config.train.resume and ckpt.latest_step(ck_dir) is not None:
