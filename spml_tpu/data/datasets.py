@@ -100,7 +100,67 @@ class ListDataset:
                 if self.instance_label_paths else None)
         return image, sem, inst
 
+    def _native_item(self, idx, rng):
+        """Fused C++ item (native_io) for the standard training path.
+        Draws the SAME rng stream as the Python path below, so outputs
+        match per (seed, idx) — decode/mirror/crop/normalize bitwise,
+        bilinear resize within float tolerance (tests/test_native_io).
+        Returns None (without having consumed draws irrecoverably —
+        the caller rebuilds rng) when the item can't go native."""
+        from spml_tpu.data import native_io
+        if (not self.training or self.color_aug or self.size is None
+                or not self.random_crop or not self.semantic_label_paths):
+            return None
+        img_path = self.image_paths[idx]
+        sem_path = self.semantic_label_paths[idx]
+        inst_path = (self.instance_label_paths[idx]
+                     if self.instance_label_paths else None)
+        if not sem_path.lower().endswith(".png") or (
+                inst_path and not inst_path.lower().endswith(".png")):
+            return None
+        dims = native_io.image_size(img_path)
+        if dims is None:
+            return None
+        h, w = dims
+        mirror = bool(self.random_mirror
+                      and rng.uniform(0, 1.0) >= 0.5)
+        ratio = (float(rng.uniform(*self.scale_range))
+                 if self.random_scale else 1.0)
+        new_h = int(ratio * h) if self.random_scale else h
+        new_w = int(ratio * w) if self.random_scale else w
+        pad_h = max(new_h, self.size[0])
+        pad_w = max(new_w, self.size[1])
+        start_h = int(np.floor(rng.uniform(0, pad_h - self.size[0])))
+        start_w = int(np.floor(rng.uniform(0, pad_w - self.size[1])))
+        res = native_io.train_item(
+            img_path, sem_path, inst_path, mirror,
+            ratio if self.random_scale else 1.0, self.size,
+            (start_h, start_w), self.img_mean, self.img_std,
+            want_tags=self.with_tags)
+        if res is None:
+            return None
+        image, sem, inst, tag_hist = res
+        if mirror and self.flip_label_remap is not None:
+            # remap commutes with nearest-resize/crop; pad 255 is a
+            # fixed point of the remap table
+            sem = self.flip_label_remap[sem].astype(np.int32)
+        out = {"image": image, "semantic_label": sem}
+        if inst is not None:
+            out["instance_label"] = inst
+        if self.with_tags:
+            tags = np.zeros((TAG_WIDTH,), np.uint8)
+            tags[np.nonzero(tag_hist[:TAG_WIDTH])[0]] = 1
+            out["semantic_tag"] = tags.astype(np.int32)
+        return out
+
     def __getitem__(self, idx):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, idx, int(self.training)]))
+        native = self._native_item(idx, rng)
+        if native is not None:
+            return native
+        # decode failure mid-native leaves rng partially consumed;
+        # rebuild so the Python path draws the full stream itself
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, idx, int(self.training)]))
         image, sem, inst = self._load(idx)
