@@ -168,6 +168,27 @@ def test_fallback_when_image_not_jpeg(tmp_path):
     assert item["image"].shape == (32, 32, 3)
 
 
+def test_threaded_loader_determinism(tmp_path):
+    """Items produced under the Loader's thread pool must be bitwise
+    identical to serially-produced ones: the C++ item call is
+    re-entrant (no shared mutable state) and GIL-free."""
+    world = _make_world(tmp_path, n=6)
+    ds, _ = _pair(world, random_scale=True, random_mirror=True)
+    serial = [ds[i] for i in range(6)]
+    loader = datasets.Loader(ds, global_batch=6, shuffle=False,
+                             num_workers=8, prefetch=2)
+    it = iter(loader)
+    try:
+        batch = next(it)
+    finally:
+        it.close()
+    for i in range(6):
+        np.testing.assert_array_equal(batch["image"][i],
+                                      serial[i]["image"])
+        np.testing.assert_array_equal(batch["semantic_label"][i],
+                                      serial[i]["semantic_label"])
+
+
 def test_eval_path_not_native(tmp_path):
     """training=False must never take the native path (it implements
     only the train pipeline)."""
