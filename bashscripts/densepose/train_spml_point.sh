@@ -9,53 +9,53 @@
 
 source bashscripts/common.sh
 
-BACKBONE_TYPES=panoptic_pspnet_101_densepose
-EMBEDDING_DIM=32
+BACKBONE_TYPES=${BACKBONE_TYPES:-panoptic_pspnet_101_densepose}
+EMBEDDING_DIM=${EMBEDDING_DIM:-32}
 
-PREDICTION_TYPES=segsort
-TRAIN_SPLIT=train2014
-GPUS=0
-LR_POLICY=poly
-USE_SYNCBN=true
-SNAPSHOT_STEP=45000
-MAX_ITERATION=45000
-WARMUP_ITERATION=100
-LR=3e-3
-WD=5e-4
-BATCH_SIZE=4
-CROP_SIZE=512
-MEMORY_BANK_SIZE=0
-KMEANS_ITERATIONS=10
-KMEANS_NUM_CLUSTERS=12
-SEM_ANN_LOSS_TYPES=segsort
-SEM_OCC_LOSS_TYPES=none
-IMG_SIM_LOSS_TYPES=segsort
-FEAT_AFF_LOSS_TYPES=segsort
-SEM_ANN_CONCENTRATION=6
-SEM_OCC_CONCENTRATION=0
-IMG_SIM_CONCENTRATION=16
-FEAT_AFF_CONCENTRATION=12
-SEM_ANN_LOSS_WEIGHT=1.0
-SEM_OCC_LOSS_WEIGHT=0.0
-IMG_SIM_LOSS_WEIGHT=0.1
-FEAT_AFF_LOSS_WEIGHT=0.5
+PREDICTION_TYPES=${PREDICTION_TYPES:-segsort}
+TRAIN_SPLIT=${TRAIN_SPLIT:-train2014}
+GPUS=${GPUS:-0}
+LR_POLICY=${LR_POLICY:-poly}
+USE_SYNCBN=${USE_SYNCBN:-true}
+SNAPSHOT_STEP=${SNAPSHOT_STEP:-45000}
+MAX_ITERATION=${MAX_ITERATION:-45000}
+WARMUP_ITERATION=${WARMUP_ITERATION:-100}
+LR=${LR:-3e-3}
+WD=${WD:-5e-4}
+BATCH_SIZE=${BATCH_SIZE:-4}
+CROP_SIZE=${CROP_SIZE:-512}
+MEMORY_BANK_SIZE=${MEMORY_BANK_SIZE:-0}
+KMEANS_ITERATIONS=${KMEANS_ITERATIONS:-10}
+KMEANS_NUM_CLUSTERS=${KMEANS_NUM_CLUSTERS:-12}
+SEM_ANN_LOSS_TYPES=${SEM_ANN_LOSS_TYPES:-segsort}
+SEM_OCC_LOSS_TYPES=${SEM_OCC_LOSS_TYPES:-none}
+IMG_SIM_LOSS_TYPES=${IMG_SIM_LOSS_TYPES:-segsort}
+FEAT_AFF_LOSS_TYPES=${FEAT_AFF_LOSS_TYPES:-segsort}
+SEM_ANN_CONCENTRATION=${SEM_ANN_CONCENTRATION:-6}
+SEM_OCC_CONCENTRATION=${SEM_OCC_CONCENTRATION:-0}
+IMG_SIM_CONCENTRATION=${IMG_SIM_CONCENTRATION:-16}
+FEAT_AFF_CONCENTRATION=${FEAT_AFF_CONCENTRATION:-12}
+SEM_ANN_LOSS_WEIGHT=${SEM_ANN_LOSS_WEIGHT:-1.0}
+SEM_OCC_LOSS_WEIGHT=${SEM_OCC_LOSS_WEIGHT:-0.0}
+IMG_SIM_LOSS_WEIGHT=${IMG_SIM_LOSS_WEIGHT:-0.1}
+FEAT_AFF_LOSS_WEIGHT=${FEAT_AFF_LOSS_WEIGHT:-0.5}
 
-INFERENCE_SPLIT=minival2014
-INFERENCE_IMAGE_SIZE=640
-INFERENCE_CROP_SIZE_H=640
-INFERENCE_CROP_SIZE_W=640
-INFERENCE_STRIDE=640
+INFERENCE_SPLIT=${INFERENCE_SPLIT:-minival2014}
+INFERENCE_IMAGE_SIZE=${INFERENCE_IMAGE_SIZE:-640}
+INFERENCE_CROP_SIZE_H=${INFERENCE_CROP_SIZE_H:-640}
+INFERENCE_CROP_SIZE_W=${INFERENCE_CROP_SIZE_W:-640}
+INFERENCE_STRIDE=${INFERENCE_STRIDE:-640}
 
-SNAPSHOT_DIR=snapshots/densepose_point/${BACKBONE_TYPES}_${PREDICTION_TYPES}/p${CROP_SIZE}_dim${EMBEDDING_DIM}_nc${KMEANS_NUM_CLUSTERS}_bs${BATCH_SIZE}_it${MAX_ITERATION}
+SNAPSHOT_DIR=${SNAPSHOT_DIR:-snapshots/densepose_point/${BACKBONE_TYPES}_${PREDICTION_TYPES}/p${CROP_SIZE}_dim${EMBEDDING_DIM}_nc${KMEANS_NUM_CLUSTERS}_bs${BATCH_SIZE}_it${MAX_ITERATION}}
 echo ${SNAPSHOT_DIR}
 
 export PYTHONPATH=`pwd`:$PYTHONPATH
 
 DATAROOT=${DATAROOT:-/data/coco_densepose}
 PRETRAINED=${PRETRAINED:-snapshots/imagenet/trained/resnet-101-cuhk.pth}
-TRAIN_DATA_LIST=datasets/densepose/panoptic_${TRAIN_SPLIT}_points_pmi0.1_256.txt
-TEST_DATA_LIST=datasets/densepose/panoptic_${INFERENCE_SPLIT}.txt
-MEMORY_DATA_LIST=datasets/densepose/panoptic_${TRAIN_SPLIT}_sub.txt
+TRAIN_DATA_LIST=${TRAIN_DATA_LIST:-datasets/densepose/panoptic_${TRAIN_SPLIT}_points_pmi0.1_256.txt}
+TEST_DATA_LIST=${TEST_DATA_LIST:-datasets/densepose/panoptic_${INFERENCE_SPLIT}.txt}
+MEMORY_DATA_LIST=${MEMORY_DATA_LIST:-datasets/densepose/panoptic_${TRAIN_SPLIT}_sub.txt}
 
 IS_CONFIG_EMB=${IS_CONFIG_EMB:-1}
 IS_TRAIN_EMB=${IS_TRAIN_EMB:-1}
@@ -80,7 +80,7 @@ if [ ${IS_TRAIN_EMB} -eq 1 ]; then
 fi
 
 if [ ${IS_CONFIG_CLASSIFIER} -eq 1 ]; then
-  PRETRAINED=${SNAPSHOT_DIR}/stage1   PREDICTION_TYPES=softmax_classifier   BATCH_SIZE=16 MAX_ITERATION=4000 KMEANS_ITERATIONS=0 KMEANS_NUM_CLUSTERS=1   render_config configs/densepose_template.yaml ${SNAPSHOT_DIR}/config_classifier.yaml
+  PRETRAINED=${SNAPSHOT_DIR}/stage1   PREDICTION_TYPES=softmax_classifier   BATCH_SIZE=${CLS_BATCH_SIZE:-16} MAX_ITERATION=${CLS_MAX_ITERATION:-4000} KMEANS_ITERATIONS=0 KMEANS_NUM_CLUSTERS=1   render_config configs/densepose_template.yaml ${SNAPSHOT_DIR}/config_classifier.yaml
 fi
 
 if [ ${IS_ANNOTATION_1} -eq 1 ]; then
@@ -95,7 +95,7 @@ if [ ${IS_ANNOTATION_1} -eq 1 ]; then
     ${CRF_FLAGS} \
     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  sed -e "s#LIST_LABEL_PATTERN#`pwd`\/${PSEUDO1}\/semantic_gray#g" \
+  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO1})\/semantic_gray#g" \
     ${TRAIN_DATA_LIST} > ${PSEUDO1}/list.txt
 fi
 

@@ -9,53 +9,53 @@
 
 source bashscripts/common.sh
 
-BACKBONE_TYPES=panoptic_deeplab_101
-EMBEDDING_DIM=64
+BACKBONE_TYPES=${BACKBONE_TYPES:-panoptic_deeplab_101}
+EMBEDDING_DIM=${EMBEDDING_DIM:-64}
 
-PREDICTION_TYPES=segsort
-TRAIN_SPLIT=train+
-GPUS=0
-LR_POLICY=poly
-USE_SYNCBN=true
-SNAPSHOT_STEP=30000
-MAX_ITERATION=30000
-WARMUP_ITERATION=100
-LR=3e-3
-WD=5e-4
-BATCH_SIZE=4
-CROP_SIZE=512
-MEMORY_BANK_SIZE=2
-KMEANS_ITERATIONS=10
-KMEANS_NUM_CLUSTERS=6
-SEM_ANN_LOSS_TYPES=segsort
-SEM_OCC_LOSS_TYPES=segsort
-IMG_SIM_LOSS_TYPES=segsort
-FEAT_AFF_LOSS_TYPES=none
-SEM_ANN_CONCENTRATION=6
-SEM_OCC_CONCENTRATION=8
-IMG_SIM_CONCENTRATION=16
-FEAT_AFF_CONCENTRATION=0
-SEM_ANN_LOSS_WEIGHT=0.1
-SEM_OCC_LOSS_WEIGHT=0.1
-IMG_SIM_LOSS_WEIGHT=0.1
-FEAT_AFF_LOSS_WEIGHT=0.0
+PREDICTION_TYPES=${PREDICTION_TYPES:-segsort}
+TRAIN_SPLIT=${TRAIN_SPLIT:-train+}
+GPUS=${GPUS:-0}
+LR_POLICY=${LR_POLICY:-poly}
+USE_SYNCBN=${USE_SYNCBN:-true}
+SNAPSHOT_STEP=${SNAPSHOT_STEP:-30000}
+MAX_ITERATION=${MAX_ITERATION:-30000}
+WARMUP_ITERATION=${WARMUP_ITERATION:-100}
+LR=${LR:-3e-3}
+WD=${WD:-5e-4}
+BATCH_SIZE=${BATCH_SIZE:-4}
+CROP_SIZE=${CROP_SIZE:-512}
+MEMORY_BANK_SIZE=${MEMORY_BANK_SIZE:-2}
+KMEANS_ITERATIONS=${KMEANS_ITERATIONS:-10}
+KMEANS_NUM_CLUSTERS=${KMEANS_NUM_CLUSTERS:-6}
+SEM_ANN_LOSS_TYPES=${SEM_ANN_LOSS_TYPES:-segsort}
+SEM_OCC_LOSS_TYPES=${SEM_OCC_LOSS_TYPES:-segsort}
+IMG_SIM_LOSS_TYPES=${IMG_SIM_LOSS_TYPES:-segsort}
+FEAT_AFF_LOSS_TYPES=${FEAT_AFF_LOSS_TYPES:-none}
+SEM_ANN_CONCENTRATION=${SEM_ANN_CONCENTRATION:-6}
+SEM_OCC_CONCENTRATION=${SEM_OCC_CONCENTRATION:-8}
+IMG_SIM_CONCENTRATION=${IMG_SIM_CONCENTRATION:-16}
+FEAT_AFF_CONCENTRATION=${FEAT_AFF_CONCENTRATION:-0}
+SEM_ANN_LOSS_WEIGHT=${SEM_ANN_LOSS_WEIGHT:-0.1}
+SEM_OCC_LOSS_WEIGHT=${SEM_OCC_LOSS_WEIGHT:-0.1}
+IMG_SIM_LOSS_WEIGHT=${IMG_SIM_LOSS_WEIGHT:-0.1}
+FEAT_AFF_LOSS_WEIGHT=${FEAT_AFF_LOSS_WEIGHT:-0.0}
 
-INFERENCE_SPLIT=val
-INFERENCE_IMAGE_SIZE=512
-INFERENCE_CROP_SIZE_H=512
-INFERENCE_CROP_SIZE_W=512
-INFERENCE_STRIDE=512
+INFERENCE_SPLIT=${INFERENCE_SPLIT:-val}
+INFERENCE_IMAGE_SIZE=${INFERENCE_IMAGE_SIZE:-512}
+INFERENCE_CROP_SIZE_H=${INFERENCE_CROP_SIZE_H:-512}
+INFERENCE_CROP_SIZE_W=${INFERENCE_CROP_SIZE_W:-512}
+INFERENCE_STRIDE=${INFERENCE_STRIDE:-512}
 
-SNAPSHOT_DIR=snapshots/voc12_point/${BACKBONE_TYPES}_${PREDICTION_TYPES}/p${CROP_SIZE}_dim${EMBEDDING_DIM}_nc${KMEANS_NUM_CLUSTERS}_bs${BATCH_SIZE}_it${MAX_ITERATION}
+SNAPSHOT_DIR=${SNAPSHOT_DIR:-snapshots/voc12_point/${BACKBONE_TYPES}_${PREDICTION_TYPES}/p${CROP_SIZE}_dim${EMBEDDING_DIM}_nc${KMEANS_NUM_CLUSTERS}_bs${BATCH_SIZE}_it${MAX_ITERATION}}
 echo ${SNAPSHOT_DIR}
 
 export PYTHONPATH=`pwd`:$PYTHONPATH
 
 DATAROOT=${DATAROOT:-/data/VOCdevkit}
 PRETRAINED=${PRETRAINED:-snapshots/imagenet/trained/resnet-101-cuhk.pth}
-TRAIN_DATA_LIST=datasets/voc12/scribble_${TRAIN_SPLIT}_d6_0.0_hed.txt
-TEST_DATA_LIST=datasets/voc12/panoptic_${INFERENCE_SPLIT}.txt
-MEMORY_DATA_LIST=datasets/voc12/panoptic_${TRAIN_SPLIT}_hed.txt
+TRAIN_DATA_LIST=${TRAIN_DATA_LIST:-datasets/voc12/scribble_${TRAIN_SPLIT}_d6_0.0_hed.txt}
+TEST_DATA_LIST=${TEST_DATA_LIST:-datasets/voc12/panoptic_${INFERENCE_SPLIT}.txt}
+MEMORY_DATA_LIST=${MEMORY_DATA_LIST:-datasets/voc12/panoptic_${TRAIN_SPLIT}_hed.txt}
 
 IS_CONFIG_EMB=${IS_CONFIG_EMB:-1}
 IS_TRAIN_EMB=${IS_TRAIN_EMB:-1}
@@ -117,7 +117,7 @@ if [ ${IS_CONFIG_CLASSIFIER} -eq 1 ]; then
   PRETRAINED_SAVE=${PRETRAINED}
   PRETRAINED=${SNAPSHOT_DIR}/stage1 \
   PREDICTION_TYPES=softmax_classifier \
-  BATCH_SIZE=16 MAX_ITERATION=4000 KMEANS_ITERATIONS=0 KMEANS_NUM_CLUSTERS=1 \
+  BATCH_SIZE=${CLS_BATCH_SIZE:-16} MAX_ITERATION=${CLS_MAX_ITERATION:-4000} KMEANS_ITERATIONS=0 KMEANS_NUM_CLUSTERS=1 \
   render_config configs/voc12_template.yaml ${SNAPSHOT_DIR}/config_classifier.yaml
   PRETRAINED=${PRETRAINED_SAVE}
 fi
@@ -139,7 +139,7 @@ if [ ${IS_ANNOTATION_1} -eq 1 ]; then
     --num_classes 21
 
   # rewrite the train list to point at the pseudo labels
-  sed -e "s#whats_the_point\/VOC2012\/dilate_6\/segcls#`pwd`\/${SNAPSHOT_DIR}\/stage1\/pseudo_labels\/${TRAIN_SPLIT}_cam_rw\/semantic_gray#g" \
+  sed -e "s#whats_the_point\/VOC2012\/dilate_6\/segcls#$(readlink -m ${SNAPSHOT_DIR})\/stage1\/pseudo_labels\/${TRAIN_SPLIT}_cam_rw\/semantic_gray#g" \
     -e "s#VOC2012#${DATAROOT}\/VOC2012#g" \
     ${TRAIN_DATA_LIST} > ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/list.txt
 fi

@@ -19,7 +19,27 @@ import numpy as np
 from spml_tpu.config import Config, load_config
 
 
+def select_platform() -> None:
+    """Honor SPML_TPU_PLATFORM=platform[:num_devices] (e.g. `cpu:8`)
+    before any computation. Needed because a sitecustomize may
+    pre-import jax with an accelerator plugin, making JAX_PLATFORMS /
+    XLA_FLAGS env vars ineffective; jax.config.update still works until
+    the backend initializes. Lets the bash pipelines and CLIs run on
+    CPU for tests/smoke runs."""
+    spec = os.environ.get("SPML_TPU_PLATFORM", "")
+    if not spec:
+        return
+    plat, _, n = spec.partition(":")
+    try:
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu" and n:
+            jax.config.update("jax_num_cpu_devices", int(n))
+    except RuntimeError as e:  # backend already initialized
+        print(f"SPML_TPU_PLATFORM={spec} ignored: {e}")
+
+
 def parse_args(description: str = "") -> tuple[argparse.Namespace, Config]:
+    select_platform()
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--snapshot_dir", required=True, type=str)
     parser.add_argument("--save_dir", type=str)
