@@ -72,11 +72,15 @@ fi
 if [ ${IS_TRAIN_EMB} -eq 1 ]; then
   python3 pyscripts/train/train_densepose.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  python3 pyscripts/inference/prototype_msc.py     --data_dir ${DATAROOT}     --data_list ${MEMORY_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}     --kmeans_num_clusters 24,24     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+  python3 pyscripts/inference/prototype.py     --data_dir ${DATAROOT}     --data_list ${MEMORY_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}     --kmeans_num_clusters 24,24     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  python3 pyscripts/inference/inference_crf_msc.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}     --semantic_memory_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}/semantic_prototype     --kmeans_num_clusters 24,24     --label_divisor 2048     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+  python3 pyscripts/inference/inference.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}     --semantic_memory_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}/semantic_prototype     --kmeans_num_clusters 24,24     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}/semantic_gray     --gt_dir ${DATAROOT}/segcls     --num_classes 15
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}/semantic_gray     --gt_dir ${DATAROOT}/segcls/densepose/gray     --num_classes 15
+
+  python3 pyscripts/inference/inference_softmax.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}_softmax     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}_softmax/semantic_gray     --gt_dir ${DATAROOT}/segcls/densepose/gray     --num_classes 15
 fi
 
 if [ ${IS_CONFIG_CLASSIFIER} -eq 1 ]; then
@@ -84,7 +88,7 @@ if [ ${IS_CONFIG_CLASSIFIER} -eq 1 ]; then
 fi
 
 if [ ${IS_ANNOTATION_1} -eq 1 ]; then
-  PSEUDO1=${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_nn_rw
+  PSEUDO1=${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw
   python3 pyscripts/inference/pseudo_denseposerw_crf.py \
     --data_dir ${DATAROOT} \
     --data_list ${TRAIN_DATA_LIST} \
@@ -95,20 +99,27 @@ if [ ${IS_ANNOTATION_1} -eq 1 ]; then
     ${CRF_FLAGS} \
     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO1})\/semantic_gray#g" \
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${PSEUDO1}/semantic_gray \
+    --gt_dir ${DATAROOT}/segcls/densepose/gray \
+    --num_classes 15
+
+  sed -e "s#segcls\/densepose_points\/gray#$(readlink -m ${PSEUDO1})\/semantic_gray#g" \
+    -e "s#images#${DATAROOT}\/images#g" \
+    -e "s#seginst#${DATAROOT}\/seginst#g" \
     ${TRAIN_DATA_LIST} > ${PSEUDO1}/list.txt
 fi
 
 if [ ${IS_TRAIN_CLASSIFIER_1} -eq 1 ]; then
   python3 pyscripts/train/train_densepose_classifier.py \
     --data_dir ${HOME} \
-    --data_list ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_nn_rw/list.txt \
+    --data_list ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/list.txt \
     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1 \
     --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
 fi
 
 if [ ${IS_INFERENCE_CLASSIFIER_1} -eq 1 ]; then
-  python3 pyscripts/inference/inference_softmax_crf_msc.py \
+  python3 pyscripts/inference/inference_softmax.py \
     --data_dir ${DATAROOT} \
     --data_list ${TEST_DATA_LIST} \
     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1 \
@@ -120,6 +131,6 @@ fi
 if [ ${IS_BENCHMARK_CLASSIFIER_1} -eq 1 ]; then
   python3 pyscripts/benchmark/benchmark_by_mIoU.py \
     --pred_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT}/semantic_gray \
-    --gt_dir ${DATAROOT}/segcls \
+    --gt_dir ${DATAROOT}/segcls/densepose/gray \
     --num_classes 15
 fi

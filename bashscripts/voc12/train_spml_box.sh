@@ -1,11 +1,14 @@
 #!/bin/bash
-# SPML on PASCAL VOC 2012 with bounding-box supervision (SEAM CAM seeds).
+# SPML on PASCAL VOC 2012 with bounding-box supervision (SEAM-box seeds).
 #
 # Usage (from the repo root):
 #   source bashscripts/voc12/train_spml_box.sh
 #
-# Behavioral reference: twke18/SPML bashscripts/voc12/train_spml_box.sh (same stage
-# flags, env-var surface and snapshot/file layout).
+# Behavioral reference: twke18/SPML bashscripts/voc12/train_spml_box.sh
+# (same stage flags, env-var surface and snapshot/file layout: one
+# self-training round — stage-1 embedding -> KNN + softmax eval ->
+# pseudo labels via softmax random-walk + CRF -> classifier -> CRF
+# inference -> benchmark).
 
 source bashscripts/common.sh
 
@@ -70,73 +73,101 @@ if [ ${IS_CONFIG_EMB} -eq 1 ]; then
 fi
 
 if [ ${IS_TRAIN_EMB} -eq 1 ]; then
-  python3 pyscripts/train/train.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+  python3 pyscripts/train/train.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TRAIN_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  python3 pyscripts/inference/prototype.py     --data_dir ${DATAROOT}     --data_list ${MEMORY_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}     --kmeans_num_clusters 12,12     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+  python3 pyscripts/inference/prototype.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${MEMORY_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT} \
+    --kmeans_num_clusters 12,12 \
+    --label_divisor 2048 \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  python3 pyscripts/inference/inference.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}     --semantic_memory_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}/semantic_prototype     --kmeans_num_clusters 12,12     --label_divisor 2048          --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+  python3 pyscripts/inference/inference.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TEST_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT} \
+    --semantic_memory_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}/semantic_prototype \
+    --kmeans_num_clusters 12,12 \
+    --label_divisor 2048 \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}/semantic_gray \
+    --gt_dir ${DATAROOT}/VOC2012/segcls \
+    --num_classes 21
+
+  python3 pyscripts/inference/inference_softmax.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TEST_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}_softmax \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}_softmax/semantic_gray \
+    --gt_dir ${DATAROOT}/VOC2012/segcls \
+    --num_classes 21
 fi
 
 if [ ${IS_CONFIG_CLASSIFIER} -eq 1 ]; then
-  PRETRAINED=${SNAPSHOT_DIR}/stage1   PREDICTION_TYPES=softmax_classifier   BATCH_SIZE=${CLS_BATCH_SIZE:-16} MAX_ITERATION=${CLS_MAX_ITERATION:-4000} KMEANS_ITERATIONS=0 KMEANS_NUM_CLUSTERS=1   render_config configs/voc12_template.yaml ${SNAPSHOT_DIR}/config_classifier.yaml
+  PRETRAINED_SAVE=${PRETRAINED}
+  PRETRAINED=${SNAPSHOT_DIR}/stage1 \
+  PREDICTION_TYPES=softmax_classifier \
+  BATCH_SIZE=${CLS_BATCH_SIZE:-16} MAX_ITERATION=${CLS_MAX_ITERATION:-4000} KMEANS_ITERATIONS=0 KMEANS_NUM_CLUSTERS=1 \
+  render_config configs/voc12_template.yaml ${SNAPSHOT_DIR}/config_classifier.yaml
+  PRETRAINED=${PRETRAINED_SAVE}
 fi
 
-IS_ANNOTATION_2=${IS_ANNOTATION_2:-1}
-IS_TRAIN_CLASSIFIER_2=${IS_TRAIN_CLASSIFIER_2:-1}
-IS_INFERENCE_CLASSIFIER_2=${IS_INFERENCE_CLASSIFIER_2:-1}
-IS_BENCHMARK_CLASSIFIER_2=${IS_BENCHMARK_CLASSIFIER_2:-1}
-CAM_DIR=${CAM_DIR:-${DATAROOT}/VOC2012/cam/seam}
-
 if [ ${IS_ANNOTATION_1} -eq 1 ]; then
-  PSEUDO1=${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw
-  python3 pyscripts/inference/pseudo_camrw_crf.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO1}     --cam_dir ${CAM_DIR}     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+  python3 pyscripts/inference/pseudo_softmaxrw_crf.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TRAIN_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/stage1 \
+    --save_dir ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw \
+    --kmeans_num_clusters 1,1 \
+    --label_divisor 2048 \
+    ${CRF_FLAGS} \
+    --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO1})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO1}/list.txt
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/semantic_gray \
+    --gt_dir ${DATAROOT}/VOC2012/segcls \
+    --num_classes 21
 
-  PSEUDO_NN=${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_nn
-  python3 pyscripts/inference/prototype_msc.py     --data_dir ${HOME}     --data_list ${PSEUDO1}/list.txt     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO_NN}     --kmeans_num_clusters 12,12     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
-
-  python3 pyscripts/inference/pseudo_inference_crf_msc.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO_NN}     --semantic_memory_dir ${PSEUDO_NN}/semantic_prototype     --kmeans_num_clusters 12,12     --label_divisor 2048     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
-
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO_NN})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO_NN}/list.txt
+  # rewrite the train list to point at the pseudo labels
+  sed -e "s#VOC2012\/cam\/seambox_a6_th0.5#$(readlink -m ${SNAPSHOT_DIR})\/stage1\/pseudo_labels\/${TRAIN_SPLIT}_cam_rw\/semantic_gray#g" \
+    -e "s#VOC2012#${DATAROOT}\/VOC2012#g" \
+    ${TRAIN_DATA_LIST} > ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/list.txt
 fi
 
 if [ ${IS_TRAIN_CLASSIFIER_1} -eq 1 ]; then
-  python3 pyscripts/train/train_classifier.py     --data_dir ${HOME}     --data_list ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_nn/list.txt     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1     --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
+  python3 pyscripts/train/train_classifier.py \
+    --data_dir ${HOME} \
+    --data_list ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/list.txt \
+    --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1 \
+    --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
 fi
 
 if [ ${IS_INFERENCE_CLASSIFIER_1} -eq 1 ]; then
-  python3 pyscripts/inference/inference_softmax_crf_msc.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1     --save_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT}     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
+  python3 pyscripts/inference/inference_softmax_crf.py \
+    --data_dir ${DATAROOT} \
+    --data_list ${TEST_DATA_LIST} \
+    --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1 \
+    --save_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT} \
+    ${CRF_FLAGS} \
+    --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
 fi
 
 if [ ${IS_BENCHMARK_CLASSIFIER_1} -eq 1 ]; then
-  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
-fi
-
-if [ ${IS_ANNOTATION_2} -eq 1 ]; then
-  PSEUDO2=${SNAPSHOT_DIR}/softmax_classifier_stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw
-  python3 pyscripts/inference/pseudo_softmax.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1     --save_dir ${PSEUDO2}     --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
-
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO2})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO2}/list.txt
-
-  PSEUDO2_NN=${SNAPSHOT_DIR}/softmax_classifier_stage1/pseudo_labels/${TRAIN_SPLIT}_cam_nn
-  python3 pyscripts/inference/prototype_msc.py     --data_dir ${HOME}     --data_list ${PSEUDO2}/list.txt     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO2_NN}     --kmeans_num_clusters 12,12     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
-
-  python3 pyscripts/inference/pseudo_inference_crf_msc.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO2_NN}     --semantic_memory_dir ${PSEUDO2_NN}/semantic_prototype     --kmeans_num_clusters 12,12     --label_divisor 2048     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
-
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO2_NN})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO2_NN}/list.txt
-fi
-
-if [ ${IS_TRAIN_CLASSIFIER_2} -eq 1 ]; then
-  python3 pyscripts/train/train_classifier.py     --data_dir ${HOME}     --data_list ${SNAPSHOT_DIR}/softmax_classifier_stage1/pseudo_labels/${TRAIN_SPLIT}_cam_nn/list.txt     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage2     --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
-fi
-
-if [ ${IS_INFERENCE_CLASSIFIER_2} -eq 1 ]; then
-  python3 pyscripts/inference/inference_softmax_crf_msc.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage2     --save_dir ${SNAPSHOT_DIR}/softmax_classifier_stage2/results/${INFERENCE_SPLIT}     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
-fi
-
-if [ ${IS_BENCHMARK_CLASSIFIER_2} -eq 1 ]; then
-  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/softmax_classifier_stage2/results/${INFERENCE_SPLIT}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py \
+    --pred_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1/results/${INFERENCE_SPLIT}/semantic_gray \
+    --gt_dir ${DATAROOT}/VOC2012/segcls \
+    --num_classes 21
 fi

@@ -139,7 +139,7 @@ if [ ${IS_ANNOTATION_1} -eq 1 ]; then
     --num_classes 21
 
   # rewrite the train list to point at the pseudo labels
-  sed -e "s#whats_the_point\/VOC2012\/dilate_6\/segcls#$(readlink -m ${SNAPSHOT_DIR})\/stage1\/pseudo_labels\/${TRAIN_SPLIT}_cam_rw\/semantic_gray#g" \
+  sed -e "s#scribble_annotation\/VOC2012\/dilate_6_0\.0\/segcls#$(readlink -m ${SNAPSHOT_DIR})\/stage1\/pseudo_labels\/${TRAIN_SPLIT}_cam_rw\/semantic_gray#g" \
     -e "s#VOC2012#${DATAROOT}\/VOC2012#g" \
     ${TRAIN_DATA_LIST} > ${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw/list.txt
 fi

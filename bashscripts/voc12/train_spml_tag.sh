@@ -77,6 +77,10 @@ if [ ${IS_TRAIN_EMB} -eq 1 ]; then
   python3 pyscripts/inference/inference.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}     --semantic_memory_dir ${SNAPSHOT_DIR}/stage1/results/${TRAIN_SPLIT}/semantic_prototype     --kmeans_num_clusters 12,12     --label_divisor 2048          --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
   python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
+
+  python3 pyscripts/inference/inference_softmax.py     --data_dir ${DATAROOT}     --data_list ${TEST_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}_softmax     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${SNAPSHOT_DIR}/stage1/results/${INFERENCE_SPLIT}_softmax/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
 fi
 
 if [ ${IS_CONFIG_CLASSIFIER} -eq 1 ]; then
@@ -91,16 +95,24 @@ CAM_DIR=${CAM_DIR:-${DATAROOT}/VOC2012/cam/seam}
 
 if [ ${IS_ANNOTATION_1} -eq 1 ]; then
   PSEUDO1=${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw
-  python3 pyscripts/inference/pseudo_camrw_crf.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO1}     --cam_dir ${CAM_DIR}     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
+  python3 pyscripts/inference/pseudo_camrw_crf.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO1}     --cam_dir ${CAM_DIR}     --kmeans_num_clusters 1,1     --label_divisor 2048     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO1})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO1}/list.txt
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${PSEUDO1}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
+
+  python3 pyscripts/benchmark/benchmark_by_instance.py     --pred_dir ${PSEUDO1}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --inst_dir ${DATAROOT}/VOC2012/seginst     --num_classes 21
+
+  sed -e "s#VOC2012\/cam\/seam_a6_th0.2#$(readlink -m ${PSEUDO1})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO1}/list.txt
 
   PSEUDO_NN=${SNAPSHOT_DIR}/stage1/pseudo_labels/${TRAIN_SPLIT}_cam_nn
   python3 pyscripts/inference/prototype_msc.py     --data_dir ${HOME}     --data_list ${PSEUDO1}/list.txt     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO_NN}     --kmeans_num_clusters 12,12     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
   python3 pyscripts/inference/pseudo_inference_crf_msc.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO_NN}     --semantic_memory_dir ${PSEUDO_NN}/semantic_prototype     --kmeans_num_clusters 12,12     --label_divisor 2048     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO_NN})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO_NN}/list.txt
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${PSEUDO_NN}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
+
+  python3 pyscripts/benchmark/benchmark_by_instance.py     --pred_dir ${PSEUDO_NN}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --inst_dir ${DATAROOT}/VOC2012/seginst     --num_classes 21
+
+  sed -e "s#VOC2012\/cam\/seam_a6_th0.2#$(readlink -m ${PSEUDO_NN})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO_NN}/list.txt
 fi
 
 if [ ${IS_TRAIN_CLASSIFIER_1} -eq 1 ]; then
@@ -117,16 +129,24 @@ fi
 
 if [ ${IS_ANNOTATION_2} -eq 1 ]; then
   PSEUDO2=${SNAPSHOT_DIR}/softmax_classifier_stage1/pseudo_labels/${TRAIN_SPLIT}_cam_rw
-  python3 pyscripts/inference/pseudo_softmax.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1     --save_dir ${PSEUDO2}     --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
+  python3 pyscripts/inference/pseudo_softmax.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/softmax_classifier_stage1     --save_dir ${PSEUDO2}     --kmeans_num_clusters 1,1     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_classifier.yaml
 
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO2})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO2}/list.txt
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${PSEUDO2}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
+
+  python3 pyscripts/benchmark/benchmark_by_instance.py     --pred_dir ${PSEUDO2}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --inst_dir ${DATAROOT}/VOC2012/seginst     --num_classes 21
+
+  sed -e "s#VOC2012\/cam\/seam_a6_th0.2#$(readlink -m ${PSEUDO2})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO2}/list.txt
 
   PSEUDO2_NN=${SNAPSHOT_DIR}/softmax_classifier_stage1/pseudo_labels/${TRAIN_SPLIT}_cam_nn
   python3 pyscripts/inference/prototype_msc.py     --data_dir ${HOME}     --data_list ${PSEUDO2}/list.txt     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO2_NN}     --kmeans_num_clusters 12,12     --label_divisor 2048     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
   python3 pyscripts/inference/pseudo_inference_crf_msc.py     --data_dir ${DATAROOT}     --data_list ${TRAIN_DATA_LIST}     --snapshot_dir ${SNAPSHOT_DIR}/stage1     --save_dir ${PSEUDO2_NN}     --semantic_memory_dir ${PSEUDO2_NN}/semantic_prototype     --kmeans_num_clusters 12,12     --label_divisor 2048     ${CRF_FLAGS}     --cfg_path ${SNAPSHOT_DIR}/config_emb.yaml
 
-  sed -e "s#LIST_LABEL_PATTERN#$(readlink -m ${PSEUDO2_NN})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO2_NN}/list.txt
+  python3 pyscripts/benchmark/benchmark_by_mIoU.py     --pred_dir ${PSEUDO2_NN}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --num_classes 21
+
+  python3 pyscripts/benchmark/benchmark_by_instance.py     --pred_dir ${PSEUDO2_NN}/semantic_gray     --gt_dir ${DATAROOT}/VOC2012/segcls     --inst_dir ${DATAROOT}/VOC2012/seginst     --num_classes 21
+
+  sed -e "s#VOC2012\/cam\/seam_a6_th0.2#$(readlink -m ${PSEUDO2_NN})\/semantic_gray#g"     -e "s#VOC2012#${DATAROOT}\/VOC2012#g"     ${TRAIN_DATA_LIST} > ${PSEUDO2_NN}/list.txt
 fi
 
 if [ ${IS_TRAIN_CLASSIFIER_2} -eq 1 ]; then

@@ -1,13 +1,15 @@
-"""End-to-end box-pipeline round 1 (IS_ANNOTATION_1 in
-bashscripts/voc12/train_spml_box.sh, reference train_spml_box.sh:188-235):
+"""End-to-end CAM-seeded pseudo-label chain (IS_ANNOTATION_1 in
+bashscripts/voc12/train_spml_tag.sh, reference train_spml_tag.sh:210-287
+— the box pipeline itself seeds from pseudo_softmaxrw_crf instead,
+reference train_spml_box.sh:150-175):
 SEAM CAM seeds -> pseudo_camrw_crf (flip-averaged affinity walk + CRF)
 -> bash list rewrite -> prototype_msc over the pseudo labels ->
 pseudo_inference_crf_msc -> classifier stage-1 training.
 
 The tag round-2 test already drives prototype_msc ->
-pseudo_inference_crf_msc -> classifier; what is unique to the box (and
-point) chains is the CAM entry point and its handoff into the rewritten
-list, so this test runs the full chain from synthetic CAM .npy seeds.
+pseudo_inference_crf_msc -> classifier; what is unique here is the CAM
+.npy entry point and its handoff into the rewritten list, so this test
+runs the full chain from synthetic CAM seeds.
 """
 
 import argparse
