@@ -138,6 +138,14 @@ class TpuConfig:
     # tensorboard_step (train.py:222-258), so the observable behavior is
     # identical; skipping it saves ~6.7 ms/step at flagship scale.
     lazy_metrics: bool = True
+    # capture a jax.profiler device trace (XPlane/Perfetto, viewable in
+    # TensorBoard or ui.perfetto.dev) during training: profile_steps
+    # iterations starting at iteration profile_start are traced into
+    # profile_dir ('' disables). The window starts after warmup so the
+    # trace shows steady-state steps, not XLA compilation.
+    profile_dir: str = ""
+    profile_start: int = 10
+    profile_steps: int = 5
 
 
 @dataclass

@@ -94,6 +94,39 @@ def _log_images(writer, config, emb_model, state, batch, step):
         print(f"image logging skipped: {e}")
 
 
+class _TraceWindow:
+    """Capture a jax.profiler trace for config.tpu.profile_steps
+    iterations starting at iteration config.tpu.profile_start (relative
+    to the run's first iteration, so resumed runs trace too). The
+    reference has no profiler at all (SURVEY.md §5); traces land in
+    config.tpu.profile_dir and open in TensorBoard / ui.perfetto.dev."""
+
+    def __init__(self, config, start_iter):
+        self.dir = config.tpu.profile_dir
+        self.begin = start_iter + config.tpu.profile_start
+        self.end = self.begin + config.tpu.profile_steps
+        self.active = False
+
+    def step(self, it, pending=None):
+        if not self.dir:
+            return
+        if it == self.begin and not self.active:
+            if pending is not None:
+                jax.block_until_ready(pending)  # keep compile/backlog out
+            jax.profiler.start_trace(os.path.expanduser(self.dir))
+            self.active = True
+        elif it == self.end and self.active:
+            if pending is not None:
+                jax.block_until_ready(pending)  # trace the full steps
+            jax.profiler.stop_trace()
+            self.active = False
+            print(f"profiler trace written to {self.dir}")
+
+    def close(self, pending=None):
+        if self.active:
+            self.step(self.end, pending)
+
+
 def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
     """Main SPML contrastive training (reference train.py)."""
     n_dev = max(1, len(jax.devices()))
@@ -135,8 +168,10 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
         step_lib.make_train_step(config), mesh)
     writer = _writer(args.snapshot_dir)
 
+    trace = _TraceWindow(config, start)
     t0 = time.time()
     for it in range(start, config.train.max_iteration):
+        trace.step(it, pending=state)
         batch = mesh_lib.device_put_batch(
             _to_train_batch(next(loader), config), mesh)
         state, metrics = train_step(state, batch)
@@ -158,6 +193,7 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
                 or it == config.train.max_iteration - 1):
             ckpt.save(ck_dir, it + 1, jax.device_get(state))
             print(f"snapshot at iteration {it + 1}")
+    trace.close(pending=state)
     return state
 
 
@@ -256,8 +292,10 @@ def train_classifier(args, config,
         mesh)
     writer = _writer(args.snapshot_dir)
 
+    trace = _TraceWindow(config, start)
     t0 = time.time()
     for it in range(start, config.train.max_iteration):
+        trace.step(it, pending=state)
         batch = mesh_lib.device_put_batch(
             _to_train_batch(next(loader), config), mesh)
         state, metrics = train_step(state, batch)
@@ -268,4 +306,5 @@ def train_classifier(args, config,
         if ((it + 1) % config.train.snapshot_step == 0
                 or it == config.train.max_iteration - 1):
             ckpt.save(ck_dir, it + 1, jax.device_get(state))
+    trace.close(pending=state)
     return state

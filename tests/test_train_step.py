@@ -290,3 +290,51 @@ def test_lazy_metrics_only_on_logged_steps():
     np.testing.assert_allclose(float(m0["accuracy"]),
                                float(e0["accuracy"]), rtol=1e-6)
     assert float(m2["accuracy"]) > 0.0        # logged step computes
+
+
+def test_profiler_trace_window(tmp_path):
+    """tpu.profile_dir captures a jax.profiler trace for profile_steps
+    iterations starting at profile_start; trace files land on disk and
+    training output is unaffected (the window only adds block_until_ready
+    barriers)."""
+    import argparse
+    import glob
+
+    import PIL.Image
+
+    from spml_tpu.train import driver
+
+    rng = np.random.RandomState(0)
+    data = tmp_path / "data"
+    for sub in ("img", "sem", "inst"):
+        (data / sub).mkdir(parents=True)
+    lines = []
+    for i in range(2):
+        img = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        sem = rng.randint(0, 4, (32, 32)).astype(np.uint8)
+        inst = rng.randint(0, 4, (32, 32)).astype(np.uint8)
+        PIL.Image.fromarray(img).save(data / "img" / f"im{i}.jpg")
+        PIL.Image.fromarray(sem).save(data / "sem" / f"im{i}.png")
+        PIL.Image.fromarray(inst).save(data / "inst" / f"im{i}.png")
+        lines.append(f"data/img/im{i}.jpg data/sem/im{i}.png "
+                     f"data/inst/im{i}.png")
+    (tmp_path / "list.txt").write_text("\n".join(lines) + "\n")
+
+    cfg = _tiny_config(batch=1)
+    cfg.train.max_iteration = 5
+    cfg.train.snapshot_step = 5
+    cfg.train.tensorboard_step = 10
+    prof_dir = tmp_path / "trace"
+    cfg.tpu.profile_dir = str(prof_dir)
+    cfg.tpu.profile_start = 2
+    cfg.tpu.profile_steps = 2
+
+    args = argparse.Namespace(snapshot_dir=str(tmp_path / "snap"),
+                              data_dir=str(tmp_path),
+                              data_list=str(tmp_path / "list.txt"))
+    driver.train_spml(args, cfg)
+
+    traces = glob.glob(str(prof_dir / "**" / "*.xplane.pb"),
+                       recursive=True) + glob.glob(
+        str(prof_dir / "**" / "*.trace.json.gz"), recursive=True)
+    assert traces, f"no trace files under {prof_dir}"
