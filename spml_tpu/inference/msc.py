@@ -192,11 +192,41 @@ def msc_predict_probs_device(engine, image: np.ndarray, member_args,
     (resolution ~5e-4) is lossless in practice and halves the download;
     pass np.float32 for bit-exact parity runs.
     """
+    return msc_predict_probs_device_async(
+        engine, image, member_args, scales, is_flip, transfer_dtype)()
+
+
+def msc_predict_probs_device_async(engine, image: np.ndarray,
+                                   member_args, scales,
+                                   is_flip: bool = True,
+                                   transfer_dtype=np.float16):
+    """Non-blocking msc_predict_probs_device: dispatches the pyramid,
+    casts the accumulator to transfer_dtype on device, STARTS the
+    device->host copy, and returns a zero-arg resolve() that completes
+    the transfer and returns the [h, w, C] float32 mean probs
+    (identical to the sync function's result).
+
+    The fp16 prob download (~11 MB at 512/21c) is the dominant
+    steady-state cost of the CRF MSC paths over the ~20-30 MB/s tunnel;
+    calling resolve() on the CRF sink pool (runner._AsyncSink) moves
+    that wait off the main loop, overlapping image i's download with
+    image i+1's host prep and device dispatch. The reference downloads
+    and CRFs inline between forward passes (inference_crf_msc.py main
+    loop), so ordering/semantics are unchanged — outputs are per-image
+    files."""
     h, w = image.shape[:2]
     acc, n, _ = _msc_accumulate_device(engine, image, member_args,
                                        scales, is_flip)
-    return np.asarray(acc.astype(transfer_dtype))[:h, :w] \
-        .astype(np.float32) / n
+    small = acc.astype(transfer_dtype)
+    try:
+        small.copy_to_host_async()
+    except Exception:  # backends without async D2H: resolve() blocks
+        pass
+
+    def resolve():
+        return np.asarray(small)[:h, :w].astype(np.float32) / n
+
+    return resolve
 
 
 @functools.partial(jax.jit, static_argnames=("final_bucket",))

@@ -186,8 +186,12 @@ def run_knn_inference(args, config, msc=False, crf=False,
     color_map = vis.load_color_map(config.dataset.color_map_path)
 
     def _tail(probs, image0, base, oh, ow):
-        """Host tail: prob resize + CRF + argmax + save — runs on the
-        _AsyncSink pool, overlapped with the next image's device work."""
+        """Host tail: prob download + resize + CRF + argmax + save —
+        runs on the _AsyncSink pool, overlapped with the next image's
+        device work (probs may be an async-download resolver from
+        msc_predict_probs_device_async)."""
+        if callable(probs):
+            probs = probs()
         probs = transforms._resize_image(probs, oh, ow)
         if postprocessor is not None:
             rgb = cli.denormalize_image(image0, config)
@@ -215,7 +219,7 @@ def run_knn_inference(args, config, msc=False, crf=False,
                 print(f"inference {base}", flush=True)
             elif msc or crf:
                 if msc:
-                    probs = msc_lib.msc_predict_probs_device(
+                    probs = msc_lib.msc_predict_probs_device_async(
                         eng, image, memory, scales=scales, is_flip=True)
                 else:
                     probs = eng.predict_topk_probs(image, *memory)
@@ -240,6 +244,8 @@ def run_softmax_inference(args, config, msc=False, crf=False,
     color_map = vis.load_color_map(config.dataset.color_map_path)
 
     def _tail(probs, image0, base, oh, ow):
+        if callable(probs):  # async-download resolver (msc path)
+            probs = probs()
         probs = transforms._resize_image(probs, oh, ow)
         if postprocessor is not None:
             rgb = cli.denormalize_image(image0, config)
@@ -263,7 +269,7 @@ def run_softmax_inference(args, config, msc=False, crf=False,
                 print(f"softmax inference {base}", flush=True)
             else:
                 if msc:
-                    probs = msc_lib.msc_predict_probs_device(
+                    probs = msc_lib.msc_predict_probs_device_async(
                         eng, image, (), scales=scales, is_flip=True)
                 else:
                     probs = eng.predict_probs(image)
@@ -404,6 +410,8 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
     ignore = config.dataset.semantic_ignore_index
 
     def _tail(probs, image, sem, base):
+        if callable(probs):  # async-download resolver: [h, w, C]
+            probs = probs().transpose(2, 0, 1)
         if sem is not None:
             tags = np.zeros(C, np.float32)
             uniq = np.unique(sem)
@@ -422,9 +430,9 @@ def run_pseudo_knn(args, config, scales=(0.5, 1.0, 1.5, 2.0),
     with _AsyncSink() as sink:
         for _, base, image, sem, _ in cli.iterate_test_images(
                 config, args.data_dir, args.data_list):
-            probs = msc_lib.msc_predict_probs_device(
+            probs = msc_lib.msc_predict_probs_device_async(
                 eng, image, memory, scales=scales, is_flip=True)
-            sink.submit(_tail, probs.transpose(2, 0, 1), image, sem, base)
+            sink.submit(_tail, probs, image, sem, base)
 
 
 def run_benchmark(args, config, instance=False):

@@ -169,6 +169,36 @@ def test_msc_device_pyramid_matches_host():
     np.testing.assert_allclose(device, host, rtol=1e-4, atol=1e-5)
 
 
+def test_msc_device_probs_async_matches_sync():
+    """msc_predict_probs_device_async's resolve() is bit-identical to
+    the sync msc_predict_probs_device — including when resolve() runs
+    on another thread, the way runner._AsyncSink calls it for the CRF
+    MSC paths (overlapping the prob download with the next image's
+    dispatch)."""
+    import concurrent.futures
+
+    eng, cfg = _engine(crop=32, stride=32)
+    rng = np.random.RandomState(7)
+    img = rng.randn(30, 32, 3).astype(np.float32)
+    gt = np.zeros((30, 32), np.int32)
+    gt[15:, :] = 2
+    protos, labels, valid = eng.build_prototypes(img, gt)
+    mp = jnp.asarray(np.tile(protos[valid], (20, 1)))
+    ml = jnp.asarray(np.tile(labels[valid], 20))
+    mv = jnp.ones((20 * int(valid.sum()),), bool)
+    memory = (mp, ml, mv)
+    scales = [0.75, 1.0]
+
+    sync = msc_lib.msc_predict_probs_device(
+        eng, img, memory, scales=scales, is_flip=True)
+    resolve = msc_lib.msc_predict_probs_device_async(
+        eng, img, memory, scales=scales, is_flip=True)
+    with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        got = pool.submit(resolve).result()
+    assert got.shape == sync.shape and got.dtype == sync.dtype
+    np.testing.assert_array_equal(got, sync)
+
+
 def test_msc_device_labels_match_probs_path():
     """msc_predict_labels_device (resize-to-final + argmax on device,
     uint8 download) == downloading the fp32 probs, resizing to the final
