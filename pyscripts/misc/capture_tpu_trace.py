@@ -52,7 +52,8 @@ def capture(out_dir, steps=6, dense=False):
                   "sem_ann_loss_weight": 1.0,
                   "sem_occ_loss_weight": 0.5,
                   "img_sim_loss_weight": 0.1},
-        "tpu": {"segment_capacity": 256, "compute_dtype": "bfloat16"},
+        "tpu": {"segment_capacity": 256, "compute_dtype": "bfloat16",
+                "use_fused_loss": True},   # the bench.py headline path
     })
     enable_compilation_cache(cfg)
 
@@ -91,7 +92,10 @@ def capture(out_dir, steps=6, dense=False):
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = train_step(state, data)
-    jax.block_until_ready(metrics)
+    # forced scalar read: on the tunneled backend block_until_ready can
+    # return early (CLAUDE.md timing trap); the loss is chained through
+    # every step's donated state, so float() waits for all of them
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     jax.profiler.stop_trace()
     print(f"traced {steps} steps in {dt:.3f}s "
@@ -99,58 +103,69 @@ def capture(out_dir, steps=6, dense=False):
     return dt, steps, batch
 
 
-def _classify(name):
-    n = name.lower()
-    if "convolution" in n or "conv" in n:
-        return "conv"
-    if "pallas" in n or "segsort" in n or "custom-call" in n:
-        return "pallas/custom"
-    if any(k in n for k in ("dot", "einsum", "matmul")):
-        return "matmul"
-    if any(k in n for k in ("fusion", "add", "multiply", "subtract",
-                            "divide", "rsqrt", "exp", "maximum", "select",
-                            "compare", "reduce", "broadcast", "convert",
-                            "transpose", "copy", "bitcast", "scatter",
-                            "gather", "iota", "sort", "dynamic")):
-        return "fusion/elementwise"
-    return "other"
+PEAK_BF16 = 197e12   # v5e MXU bf16 FLOP/s
+HBM_BW = 819e9       # v5e HBM bytes/s
 
 
-def summarize(out_dir, top=30):
-    """Parse the captured .xplane.pb and print device op self-times."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+def summarize(out_dir):
+    """Parse the captured Chrome trace (.trace.json.gz — written next to
+    the .xplane.pb) and aggregate device-op time, FLOPs, and bytes. The
+    device plane (e.g. '/device:TPU:0') has hierarchical lanes; only the
+    'XLA Ops' lane is summed, so totals aren't double-counted against
+    the 'Steps'/'XLA Modules' lanes. Each op event carries
+    hlo_category / model_flops / raw_bytes_accessed, which gives the
+    per-category roofline (MFU vs PEAK_BF16, achieved GB/s vs HBM_BW)
+    directly from hardware timestamps."""
+    import gzip
 
     paths = sorted(glob.glob(os.path.join(
-        out_dir, "**", "*.xplane.pb"), recursive=True))
+        out_dir, "**", "*.trace.json.gz"), recursive=True))
     if not paths:
-        print("no xplane.pb found", file=sys.stderr)
+        print("no trace.json.gz found", file=sys.stderr)
         return None
-    space = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        space.ParseFromString(f.read())
+    with gzip.open(paths[-1]) as f:
+        events = json.load(f)["traceEvents"]
 
-    per_op = collections.Counter()     # op name -> total duration ps
-    per_class = collections.Counter()
-    device_total_ps = 0
-    for plane in space.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
+    dev_pids, op_tids, step_tids = set(), {}, {}
+    for e in events:
+        if e.get("ph") != "M":
             continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()} \
-            if hasattr(plane.event_metadata, "values") else {}
-        if not ev_meta:
-            ev_meta = {k: v.name for k, v in plane.event_metadata.items()}
-        for line in plane.lines:
-            # XLA op lines carry the per-op events; step lines duplicate
-            if "step" in line.name.lower():
-                continue
-            for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
-                per_op[name] += ev.duration_ps
-                device_total_ps += ev.duration_ps
-    for name, ps in per_op.items():
-        per_class[_classify(name)] += ps
+        if e.get("name") == "process_name" and (
+                "TPU" in e["args"].get("name", "")
+                or "device" in e["args"].get("name", "").lower()):
+            dev_pids.add(e["pid"])
+        if e.get("name") == "thread_name":
+            nm = e["args"].get("name", "")
+            if nm == "XLA Ops":
+                op_tids[e["pid"]] = e["tid"]
+            elif nm == "Steps":
+                step_tids[e["pid"]] = e["tid"]
 
-    return per_op, per_class, device_total_ps, paths[-1]
+    zero = lambda: [0.0, 0.0, 0.0, 0]          # us, flops, bytes, count
+    per_op = collections.defaultdict(zero)     # (name, tf_op) -> acc
+    per_class = collections.defaultdict(zero)  # hlo_category -> acc
+    n_steps, steps_us = 0, 0
+    for e in events:
+        if e.get("ph") != "X" or e["pid"] not in dev_pids:
+            continue
+        if e["tid"] == step_tids.get(e["pid"]):
+            n_steps += 1
+            steps_us += e.get("dur", 0)
+            continue
+        if e["tid"] != op_tids.get(e["pid"]):
+            continue
+        a = e.get("args") or {}
+        dur = e.get("dur", 0)
+        flops = float(a.get("model_flops", 0) or 0)
+        byts = float(a.get("raw_bytes_accessed",
+                           a.get("bytes_accessed", 0)) or 0)
+        for acc in (per_op[(e["name"], a.get("tf_op", "")[:90])],
+                    per_class[a.get("hlo_category", "?")]):
+            acc[0] += dur
+            acc[1] += flops
+            acc[2] += byts
+            acc[3] += 1
+    return per_op, per_class, steps_us, n_steps, paths[-1]
 
 
 def main():
@@ -166,26 +181,46 @@ def main():
     res = summarize(out)
     if res is None:
         return
-    per_op, per_class, total_ps, path = res
-    total_ms = total_ps / 1e9
-    print(f"\nxplane: {path}", file=sys.stderr)
-    print(f"device op time total: {total_ms:.1f} ms over {steps} steps "
-          f"({total_ms / steps:.1f} ms/step; wall {dt * 1e3 / steps:.1f}"
-          " ms/step)", file=sys.stderr)
-    print("\n== by class ==", file=sys.stderr)
-    for cls, ps in per_class.most_common():
-        print(f"  {cls:20s} {ps / 1e9:9.1f} ms  "
-              f"{100 * ps / total_ps:5.1f}%", file=sys.stderr)
+    per_op, per_class, steps_us, n_steps, path = res
+    n = max(n_steps, 1)
+    tot_us = sum(v[0] for v in per_class.values())
+    tot_fl = sum(v[1] for v in per_class.values())
+    tot_by = sum(v[2] for v in per_class.values())
+    mfu = tot_fl / (tot_us * 1e-6) / PEAK_BF16
+    hbm = tot_by / (tot_us * 1e-6) / HBM_BW
+    print(f"\ntrace: {path}", file=sys.stderr)
+    print(f"device: {n_steps} steps, {steps_us / 1e3 / n:.1f} ms/step; "
+          f"{tot_fl / n / 1e9:.0f} GFLOP/step -> {mfu:.1%} MFU; "
+          f"{tot_by / n / 1e9:.2f} GB/step -> {hbm:.1%} of HBM peak; "
+          f"host wall {dt * 1e3 / steps:.1f} ms/step", file=sys.stderr)
+    print(f"\n== by hlo_category ==\n  {'category':26s} {'ms/st':>6s} "
+          f"{'%':>5s} {'MFU':>6s} {'GB/s':>5s} {'n/st':>5s}",
+          file=sys.stderr)
+    for cls, (us, fl, by, cnt) in sorted(per_class.items(),
+                                         key=lambda kv: -kv[1][0]):
+        if us == 0:
+            continue
+        print(f"  {cls:26s} {us / 1e3 / n:6.1f} {100 * us / tot_us:4.1f}% "
+              f"{fl / (us * 1e-6) / PEAK_BF16:6.1%} "
+              f"{by / us * 1e-3:5.0f} {cnt / n:5.0f}", file=sys.stderr)
     print("\n== top ops ==", file=sys.stderr)
-    for name, ps in per_op.most_common(30):
-        print(f"  {ps / 1e9:8.2f} ms  {100 * ps / total_ps:5.1f}%  "
-              f"{name[:100]}", file=sys.stderr)
+    for (name, tfop), (us, fl, by, cnt) in sorted(
+            per_op.items(), key=lambda kv: -kv[1][0])[:25]:
+        print(f"  {us / 1e3 / n:6.2f} ms "
+              f"{fl / (us * 1e-6) / PEAK_BF16:6.1%} MFU "
+              f"{by / us * 1e-3:5.0f} GB/s  {name[:26]:26s} {tfop[:64]}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "trace_device_ms_per_step",
-        "value": round(total_ms / steps, 2),
+        "value": round(steps_us / 1e3 / n, 2),
         "unit": "ms",
-        "classes_ms": {k: round(v / 1e9 / steps, 2)
-                       for k, v in per_class.most_common()},
+        "gflop_per_step": round(tot_fl / n / 1e9, 1),
+        "gb_per_step": round(tot_by / n / 1e9, 2),
+        "mfu": round(mfu, 4),
+        "hbm_frac": round(hbm, 4),
+        "classes_ms": {k: round(v[0] / 1e3 / n, 2)
+                       for k, v in sorted(per_class.items(),
+                                          key=lambda kv: -kv[1][0])},
     }))
 
 

@@ -60,11 +60,12 @@ class EmbeddingModel(nn.Module):
 
         if self.head == "aspp":
             emb = ASPP(self.embedding_dim, use_bn=False, use_relu=False,
-                       name="aspp")(res5, train)
+                       dtype=self.dtype, name="aspp")(res5, train)
         elif self.head == "pspp":
-            h = PSPP(512, name="pspp")(res5, train)
+            h = PSPP(512, dtype=self.dtype, name="pspp")(res5, train)
             emb = nn.Conv(self.embedding_dim, (1, 1), use_bias=True,
-                          kernel_init=torch_conv_init, name="pspp_proj")(h)
+                          kernel_init=torch_conv_init, dtype=self.dtype,
+                          name="pspp_proj")(h)
         else:
             raise ValueError(f"unknown head {self.head}")
 

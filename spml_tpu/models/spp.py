@@ -22,13 +22,19 @@ torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
                                                    "uniform")
 
 
-def _conv(features, kernel, dilation=1, use_bias=True, name=None):
+def _conv(features, kernel, dilation=1, use_bias=True, name=None,
+          dtype=jnp.float32):
+    # dtype is the COMPUTE dtype (params stay f32, as in the backbone's
+    # convs — resnet.py) so the head's convs ride the MXU at bf16 rate
+    # under tpu.compute_dtype=bfloat16 instead of being silently promoted
+    # to f32 (measured 9.7-18.9% MFU f32 vs ~2x at bf16; trace profile in
+    # PERF.md)
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(features, (kernel, kernel),
                    padding=[(pad, pad), (pad, pad)],
                    kernel_dilation=(dilation, dilation),
                    use_bias=use_bias, kernel_init=torch_conv_init,
-                   name=name)
+                   dtype=dtype, name=name)
 
 
 def adaptive_avg_pool(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
@@ -70,11 +76,12 @@ class ASPP(nn.Module):
         outs = []
         for i, d in enumerate((6, 12, 18, 24)):
             h = _conv(self.out_channels, 3, dilation=d,
-                      use_bias=not self.use_bn, name=f"aspp_{i+1}")(x)
+                      use_bias=not self.use_bn, dtype=self.dtype,
+                      name=f"aspp_{i+1}")(x)
             if self.use_bn:
                 h = nn.BatchNorm(use_running_average=not train,
                                  momentum=1.0 - 3e-4, epsilon=1e-5,
-                                 name=f"bn_{i+1}")(h)
+                                 dtype=self.dtype, name=f"bn_{i+1}")(h)
             if self.use_relu:
                 h = nn.relu(h)
             outs.append(h)
@@ -92,10 +99,10 @@ class PSPP(nn.Module):
         def branch(v, pool_size, name):
             v = adaptive_avg_pool(v, pool_size)
             v = _conv(self.out_channels, 1, use_bias=False,
-                      name=f"{name}_conv")(v)
+                      dtype=self.dtype, name=f"{name}_conv")(v)
             v = nn.BatchNorm(use_running_average=not train,
                              momentum=1.0 - 3e-4, epsilon=1e-5,
-                             name=f"{name}_bn")(v)
+                             dtype=self.dtype, name=f"{name}_bn")(v)
             v = nn.relu(v)
             return resize_bilinear(v, size)
 
@@ -103,8 +110,9 @@ class PSPP(nn.Module):
         for i, s in enumerate((1, 2, 3, 6)):
             xs.append(branch(x, s, f"pspp_{i+1}"))
         out = jnp.concatenate(xs, axis=-1)
-        out = _conv(self.out_channels, 3, use_bias=False, name="fuse_conv")(out)
+        out = _conv(self.out_channels, 3, use_bias=False,
+                    dtype=self.dtype, name="fuse_conv")(out)
         out = nn.BatchNorm(use_running_average=not train,
                            momentum=1.0 - 3e-4, epsilon=1e-5,
-                           name="fuse_bn")(out)
+                           dtype=self.dtype, name="fuse_bn")(out)
         return nn.relu(out)

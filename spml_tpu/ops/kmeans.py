@@ -136,8 +136,15 @@ def compact_unique_segments(keys: jnp.ndarray,
       keep: [N] bool — valid pixels whose segment fit within capacity.
     """
     masked = jnp.where(valid, keys, INVALID_KEY)
-    order = jnp.argsort(masked)
-    sorted_keys = masked[order]
+    # one lax.sort carrying the iota gives BOTH the sorted keys and the
+    # permutation — argsort followed by masked[order] re-gathers the keys
+    # through a 1 ms random-access gather the sort already produced.
+    # Ties can land in any order: ranks (cumsum of key-change flags)
+    # depend only on key VALUES, and all pixels of a segment share their
+    # attrs, so every output is unchanged.
+    sorted_keys, order = jax.lax.sort(
+        (masked, jnp.arange(masked.shape[0], dtype=jnp.int32)),
+        num_keys=1)
     newflag = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
     ranks = jnp.cumsum(newflag.astype(jnp.int32)) - 1

@@ -53,7 +53,14 @@ def segsort_log_likelihood(embeddings: jnp.ndarray,
     logits = jnp.einsum("nd,pd->np", embeddings, prototypes,
                         preferred_element_type=jnp.float32)
     sims = jnp.exp(logits * concentration)
-    own = jnp.take_along_axis(sims, own_segment_ids[:, None], axis=1)[:, 0]
+    # own-sim extraction as a one-hot masked row-sum instead of
+    # take_along_axis: bitwise identical (summing a single nonzero), but
+    # a streaming reduce over [N, P] instead of a random-access gather —
+    # the gather was 2.3 ms/step on TPU vs ~0.3 for the fused
+    # compare-multiply-reduce (trace profile in PERF.md)
+    own_onehot = own_segment_ids[:, None] == jnp.arange(
+        sims.shape[1], dtype=own_segment_ids.dtype)[None, :]
+    own = jnp.sum(jnp.where(own_onehot, sims, 0.0), axis=1)
 
     same_sum = jnp.sum(sims * same_mask.astype(sims.dtype), axis=1) - own
     numerator = jnp.where(same_sum > 0, same_sum, own)
