@@ -72,7 +72,8 @@ def main():
                   "sem_occ_loss_weight": 0.5,
                   "img_sim_loss_weight": 0.1},
         "tpu": {"segment_capacity": 256, "compute_dtype": "bfloat16",
-                "use_fused_loss": fused},
+                "use_fused_loss": fused,
+                "remat_backbone": "--remat" in sys.argv},
     })
 
     enable_compilation_cache(cfg)

@@ -146,6 +146,11 @@ class TpuConfig:
     profile_dir: str = ""
     profile_start: int = 10
     profile_steps: int = 5
+    # per-residual-block rematerialization in the backbone: save only
+    # block boundaries, recompute intra-block conv/BN/relu activations
+    # during backward (models/resnet.py::Stage.remat). The memory lever
+    # for larger batch/crop; measured throughput effect in PERF.md.
+    remat_backbone: bool = False
 
 
 @dataclass

@@ -48,6 +48,8 @@ class EmbeddingModel(nn.Module):
     # raise (e.g. 0.9) when training from random initialization or the
     # eval-mode running stats lag the train-mode batch stats badly
     bn_momentum: float = 1.0 - 3e-4
+    # per-residual-block rematerialization (see resnet.Stage.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, train: bool = False,
@@ -55,7 +57,7 @@ class EmbeddingModel(nn.Module):
         x = images.astype(self.dtype)
         _, _, _, res5 = ResnetBackbone(
             RESNET_DEPTHS[self.depth], dtype=self.dtype,
-            bn_momentum=self.bn_momentum,
+            bn_momentum=self.bn_momentum, remat=self.remat,
             name="resnet_backbone")(x, train)
 
         if self.head == "aspp":
@@ -112,7 +114,8 @@ class ClassifierHead(nn.Module):
 
 def build_embedding_model(backbone_types: str, embedding_dim: int,
                           dtype=jnp.float32,
-                          bn_momentum: float = 1.0 - 3e-4) -> EmbeddingModel:
+                          bn_momentum: float = 1.0 - 3e-4,
+                          remat: bool = False) -> EmbeddingModel:
     """Factory matching the reference's config.network.backbone_types
     strings (train.py:83-88)."""
     table = {
@@ -128,4 +131,5 @@ def build_embedding_model(backbone_types: str, embedding_dim: int,
     if backbone_types not in table:
         raise ValueError(f"Not support {backbone_types}")
     return EmbeddingModel(embedding_dim=embedding_dim, dtype=dtype,
-                          bn_momentum=bn_momentum, **table[backbone_types])
+                          bn_momentum=bn_momentum, remat=remat,
+                          **table[backbone_types])

@@ -111,6 +111,12 @@ class Stage(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.float32
     bn_momentum: float = BN_MOMENTUM
+    # per-block rematerialization: save only block boundaries, recompute
+    # the 3 intra-block conv/BN/relu activations during backward. Trades
+    # HBM reads for MXU recompute — the train step is bandwidth-bound
+    # (TRACE_PROFILE.json: 79% of HBM peak at 42% MFU), and it is also
+    # the memory lever for larger batch/crop.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -118,13 +124,15 @@ class Stage(nn.Module):
         first_dil = 1 if self.dilation in (1, 2) else 2
         in_ch = x.shape[-1]
         kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum)
-        x = Bottleneck(self.planes, self.stride, first_dil,
-                       has_downsample=(self.stride != 1
-                                       or in_ch != self.planes * 4),
-                       name="block0", **kw)(x, train)
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
+        x = block_cls(self.planes, self.stride, first_dil,
+                      has_downsample=(self.stride != 1
+                                      or in_ch != self.planes * 4),
+                      name="block0", **kw)(x, train)
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, 1, self.dilation,
-                           name=f"block{i}", **kw)(x, train)
+            x = block_cls(self.planes, 1, self.dilation,
+                          name=f"block{i}", **kw)(x, train)
         return x
 
 
@@ -135,11 +143,14 @@ class ResnetBackbone(nn.Module):
     dilations: Sequence[int] = (1, 1, 2, 4)
     dtype: Any = jnp.float32
     bn_momentum: float = BN_MOMENTUM
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum)
-        x = Stem(name="stem", **kw)(x, train)
+        x = Stem(name="stem", dtype=self.dtype,
+                 bn_momentum=self.bn_momentum)(x, train)
+        kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum,
+                  remat=self.remat)
         res2 = Stage(64, self.blocks[0], self.strides[0],
                      self.dilations[0], name="res2", **kw)(x, train)
         res3 = Stage(128, self.blocks[1], self.strides[1],

@@ -338,3 +338,28 @@ def test_profiler_trace_window(tmp_path):
                        recursive=True) + glob.glob(
         str(prof_dir / "**" / "*.trace.json.gz"), recursive=True)
     assert traces, f"no trace files under {prof_dir}"
+
+
+def test_remat_backbone_identical_step():
+    """tpu.remat_backbone saves only residual-block boundaries and
+    recomputes intra-block activations in backward. Recompute re-executes
+    the same ops on the same values, so the step must be IDENTICAL —
+    loss, metrics, and every updated parameter."""
+    rng = np.random.RandomState(13)
+    img = jnp.zeros((2, 32, 32, 3))
+    batch = _batch(rng, 2, 32)
+
+    results = []
+    for remat in (False, True):
+        cfg = _tiny_config()
+        cfg.tpu.remat_backbone = remat
+        state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+        step = jax.jit(step_lib.make_train_step(cfg))
+        state, metrics = step(state, batch)
+        results.append((jax.device_get(state.params),
+                        {k: float(v) for k, v in metrics.items()}))
+
+    (p0, m0), (p1, m1) = results
+    assert m0 == m1
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
