@@ -156,14 +156,39 @@ def compact_unique_segments(keys: jnp.ndarray,
     return seg_ids.astype(jnp.int32), keep
 
 
-def _scatter_segment_attr(seg_ids: jnp.ndarray, keep: jnp.ndarray,
-                          attr: jnp.ndarray, capacity: int,
-                          fill: int = 0) -> jnp.ndarray:
-    """Writes each kept pixel's attr to its segment bin (all pixels of a
-    segment share the attr by construction of the composite key)."""
-    idx = jnp.where(keep, seg_ids, capacity)  # out-of-range -> dropped
-    out = jnp.full((capacity,), fill, attr.dtype)
-    return out.at[idx].set(attr, mode="drop")
+def _segment_attrs(seg_ids: jnp.ndarray, keep: jnp.ndarray,
+                   attrs, fills, capacity: int):
+    """Per-segment attr readout + validity, as ONE one-hot matmul.
+
+    All pixels of a segment share each attr by construction of the
+    composite key, so attr_of_segment = sum(attr * onehot) / count. The
+    previous formulation was one [N]->[capacity] scatter per attr
+    (~0.65 ms/step each vmapped at flagship scale — TPU scatters are
+    element-serialized) while the iota-compare one-hot fuses into an
+    MXU matmul (the same mechanism as the k-means prototype sums).
+
+    Exact, not approximate: attr values are small nonneg ints (labels
+    come from uint8 PNGs, cluster ids < k; integers <= 256 are exact in
+    bfloat16), attr*count <= 255*N < 2^24 accumulates exactly in f32,
+    and (x*c)/c is correctly rounded to the representable integer x.
+    Locked against the numpy scatter oracle in tests/test_ops_kmeans.py.
+
+    Returns ([capacity] array per attr, [capacity] bool validity).
+    """
+    onehot = ((seg_ids[:, None]
+               == jnp.arange(capacity, dtype=seg_ids.dtype)[None, :])
+              & keep[:, None]).astype(jnp.bfloat16)
+    stacked = jnp.stack(
+        [a.astype(jnp.bfloat16) for a in attrs]
+        + [jnp.ones_like(seg_ids, jnp.bfloat16)], axis=-1)
+    out = jnp.einsum("np,nk->pk", onehot, stacked,
+                     preferred_element_type=jnp.float32)
+    counts = out[:, -1]
+    present = counts > 0
+    safe = jnp.maximum(counts, 1.0)
+    vals = [jnp.where(present, out[:, i] / safe, fill).astype(a.dtype)
+            for i, (a, fill) in enumerate(zip(attrs, fills))]
+    return vals, present
 
 
 def segment_image(embeddings_with_loc: jnp.ndarray,
@@ -214,12 +239,9 @@ def segment_image(embeddings_with_loc: jnp.ndarray,
 
     seg_ids, keep = compact_unique_segments(keys, valid, capacity)
 
-    seg_valid = jnp.zeros((capacity,), bool).at[
-        jnp.where(keep, seg_ids, capacity)].set(True, mode="drop")
-    seg_sem = _scatter_segment_attr(seg_ids, keep, semantic_labels, capacity,
-                                    fill=ignore_index)
-    seg_inst = _scatter_segment_attr(seg_ids, keep, instance_labels, capacity)
-    seg_cluster = _scatter_segment_attr(seg_ids, keep, cluster, capacity)
+    (seg_sem, seg_inst, seg_cluster), seg_valid = _segment_attrs(
+        seg_ids, keep, (semantic_labels, instance_labels, cluster),
+        (ignore_index, 0, 0), capacity)
 
     return Segments(pixel_segment_ids=seg_ids,
                     pixel_valid=keep,
