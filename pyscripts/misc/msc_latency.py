@@ -107,6 +107,37 @@ def main():
             times.append(dt)
             print(f"{phase} image {i} {h}x{w}: {dt:.2f}s", flush=True)
 
+    # CRF-path pipelined throughput: the runner submits the ASYNC prob
+    # download to the _AsyncSink pool (msc_predict_probs_device_async),
+    # so image i's ~11 MB fp16 transfer resolves on a worker while the
+    # main loop prepares and dispatches image i+1. Measure N images
+    # back-to-back, blocking vs pipelined (no CRF tail — isolates the
+    # transfer overlap; the CRF itself runs on the same pool in real
+    # paths and is benchmarked in profile_crf.py).
+    import concurrent.futures
+    pipe_sizes = [sizes[i % len(sizes)] for i in range(2 * len(sizes))]
+
+    t0 = time.time()
+    for h, w in pipe_sizes:
+        img = rng.randn(h, w, 3).astype(np.float32)
+        msc_lib.msc_predict_probs_device(
+            eng, img, memory, scales=scales, is_flip=True)
+    blocking_s = (time.time() - t0) / len(pipe_sizes)
+
+    t0 = time.time()
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        futs = []
+        for h, w in pipe_sizes:
+            img = rng.randn(h, w, 3).astype(np.float32)
+            resolve = msc_lib.msc_predict_probs_device_async(
+                eng, img, memory, scales=scales, is_flip=True)
+            futs.append(pool.submit(resolve))
+        for f in futs:
+            assert np.isfinite(f.result()).all()
+    pipelined_s = (time.time() - t0) / len(pipe_sizes)
+    print(f"crf-path per image: blocking {blocking_s:.2f}s, "
+          f"pipelined {pipelined_s:.2f}s", flush=True)
+
     out = {"image_size": size, "scales": scales,
            "pyramid_members": 2 * len(scales),
            "warmup_buckets": len(warmed), "warmup_s": round(warmup_s, 1),
@@ -115,7 +146,9 @@ def main():
            "labels_first_pass_median_s":
                round(float(np.median(lab_first)), 2),
            "labels_steady_state_median_s":
-               round(float(np.median(lab_repeat)), 2)}
+               round(float(np.median(lab_repeat)), 2),
+           "crf_path_blocking_s_per_image": round(blocking_s, 2),
+           "crf_path_pipelined_s_per_image": round(pipelined_s, 2)}
     print(json.dumps(out))
     with open(os.path.join(ROOT, "MSC_LATENCY.json"), "w") as f:
         json.dump(out, f, indent=1)
