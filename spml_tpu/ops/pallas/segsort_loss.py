@@ -76,7 +76,18 @@ def _compact_prototypes(valid_any, proto_arrays, own_idx):
     inv = jnp.zeros((p,), jnp.int32).at[order].set(
         jnp.arange(p, dtype=jnp.int32))
     sorted_arrays = [a[order] for a in proto_arrays]
-    new_own = jnp.take(inv, own_idx.astype(jnp.int32), axis=0)
+    # inv[own_idx] as a one-hot matvec instead of a [N] random-access
+    # gather (~0.9 ms/step at flagship scale — TPU gathers serialize;
+    # the iota-compare one-hot fuses into an MXU matmul). f32 operands,
+    # NOT bf16: inv holds indices up to P-1 (thousands), exact in f32
+    # below 2^24 but not in bf16 beyond 256. One nonzero per row, so
+    # the sum is the looked-up index itself.
+    own = own_idx.astype(jnp.int32)
+    onehot = (own[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :])
+    new_own = jnp.einsum("np,p->n", onehot.astype(jnp.float32),
+                         inv.astype(jnp.float32),
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.int32)
     count = jnp.sum(valid_any.astype(jnp.int32)).reshape(1)
     return sorted_arrays, new_own, count
 
