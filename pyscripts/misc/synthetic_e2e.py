@@ -118,27 +118,11 @@ def make_world(root, rng, n_train=48, n_val=12):
             + "\n")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=400)
-    ap.add_argument("--root", default="/tmp/synth_e2e")
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--seed", type=int, default=0,
-                    help="train.seed offset (init/shuffle/aug); the "
-                         "world itself stays fixed at seed 7")
-    ap.add_argument("--out", default=None,
-                    help="output json path (default SYNTH_E2E.json)")
-    args = ap.parse_args()
-
+def build_cfg(root, iters, batch=8, seed=0):
+    """The flagship-recipe-at-tiny-scale config shared by the synthetic
+    e2e scripts (synthetic_e2e.py, synthetic_selftrain_e2e.py)."""
     from spml_tpu.config import load_config
-    from spml_tpu.inference import runner
-    from spml_tpu.train import driver
-
-    rng = np.random.RandomState(7)
-    root = args.root
-    make_world(root, rng)
-
-    cfg = load_config(overrides={
+    return load_config(overrides={
         "dataset": {"num_classes": N_CLASSES, "data_dir": root,
                     "train_data_list": os.path.join(root, "train.txt")},
         "network": {"backbone_types": "panoptic_deeplab_50",
@@ -147,10 +131,10 @@ def main():
                     "kmeans_iterations": 10,
                     "bn_momentum": 0.1,  # from-random init
                     "prediction_types": "segsort"},
-        "train": {"seed": args.seed,
-                  "batch_size": args.batch, "crop_size": [128, 128],
-                  "memory_bank_size": 2, "max_iteration": args.iters,
-                  "snapshot_step": args.iters, "tensorboard_step": 100,
+        "train": {"seed": seed,
+                  "batch_size": batch, "crop_size": [128, 128],
+                  "memory_bank_size": 2, "max_iteration": iters,
+                  "snapshot_step": iters, "tensorboard_step": 100,
                   "base_lr": 3e-3, "warmup_iteration": 0,
                   "random_mirror": True, "random_scale": True,
                   "random_crop": True, "shuffle": True,
@@ -165,6 +149,28 @@ def main():
         "tpu": {"segment_capacity": 128, "compute_dtype": "bfloat16",
                 "use_fused_loss": True},
     })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--root", default="/tmp/synth_e2e")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train.seed offset (init/shuffle/aug); the "
+                         "world itself stays fixed at seed 7")
+    ap.add_argument("--out", default=None,
+                    help="output json path (default SYNTH_E2E.json)")
+    args = ap.parse_args()
+
+    from spml_tpu.inference import runner
+    from spml_tpu.train import driver
+
+    rng = np.random.RandomState(7)
+    root = args.root
+    make_world(root, rng)
+
+    cfg = build_cfg(root, args.iters, args.batch, args.seed)
 
     snap = os.path.join(root, "snapshot")
     t0 = time.time()
