@@ -102,6 +102,13 @@ class TpuConfig:
     label_cap: int = 256
     # number of data-parallel devices the step is laid out for
     num_devices: int = 1
+    # shard the image HEIGHT axis over this many devices (2-D
+    # ('data','space') mesh; GSPMD inserts conv halo exchanges) — lets
+    # crops/batches too large for one chip's HBM train unchanged. The
+    # device count must be divisible; data-parallel width becomes
+    # num_devices // spatial_partition. Validated N-dev == 1-dev in
+    # tests/test_spatial_partition.py.
+    spatial_partition: int = 1
     # compute dtype for the conv backbone ('bfloat16' | 'float32')
     compute_dtype: str = "bfloat16"
     # width of the dataset-level tag vector (reference uses 256)

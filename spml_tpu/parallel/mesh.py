@@ -25,16 +25,41 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+def make_mesh(num_devices: int | None = None, devices=None,
+              spatial: int = 1) -> Mesh:
+    """1-D data mesh, or — with spatial > 1 — a 2-D ('data', 'space')
+    mesh that additionally shards the image HEIGHT axis over `spatial`
+    devices. GSPMD partitions the convolutions with halo exchanges over
+    ICI (the CNN analog of sequence parallelism), so crops/batches too
+    large for one chip's HBM can be trained without changing the step.
+    No reference counterpart: twke18/SPML's DataParallel
+    (lib/nn/parallel/data_parallel.py) can only split the batch axis.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), axis_names=("data",))
+    devices = np.asarray(devices)
+    if spatial > 1:
+        if devices.size % spatial:
+            raise ValueError(
+                f"{devices.size} devices not divisible by "
+                f"spatial={spatial}")
+        return Mesh(devices.reshape(-1, spatial),
+                    axis_names=("data", "space"))
+    return Mesh(devices, axis_names=("data",))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading axis sharded over 'data'."""
+def _spatial(mesh: Mesh) -> bool:
+    return "space" in mesh.axis_names and mesh.shape["space"] > 1
+
+
+def batch_sharding(mesh: Mesh, ndim: int | None = None) -> NamedSharding:
+    """Leading axis sharded over 'data'; on a 2-D ('data', 'space') mesh,
+    array leaves with a spatial H axis (ndim >= 3: [B, H, ...]) are
+    additionally sharded over 'space' on axis 1."""
+    if _spatial(mesh) and ndim is not None and ndim >= 3:
+        return NamedSharding(mesh, P("data", "space"))
     return NamedSharding(mesh, P("data"))
 
 
@@ -47,6 +72,15 @@ def shard_train_step(train_step, mesh: Mesh):
     leading (global-batch) axis; the state is donated so memory-bank and
     parameter updates happen in place."""
     repl = replicated_sharding(mesh)
+    if _spatial(mesh):
+        # batch leaves carry per-rank shardings (see batch_sharding);
+        # inputs are committed by device_put_{replicated,batch}, and jit
+        # honors committed input shardings when in_shardings is omitted.
+        return jax.jit(
+            train_step,
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
     data = batch_sharding(mesh)
     return jax.jit(
         train_step,
@@ -57,8 +91,8 @@ def shard_train_step(train_step, mesh: Mesh):
 
 
 def device_put_batch(batch: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
-    sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+            for k, v in batch.items()}
 
 
 def device_put_replicated(tree, mesh: Mesh):

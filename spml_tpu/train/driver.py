@@ -131,7 +131,10 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
     """Main SPML contrastive training (reference train.py)."""
     n_dev = max(1, len(jax.devices()))
     config.tpu.num_devices = n_dev
-    global_batch = config.train.batch_size * n_dev
+    # with spatial partitioning, only n_dev // spatial devices split the
+    # batch axis; the other factor splits each image's height
+    data_dev = max(1, n_dev // max(1, config.tpu.spatial_partition))
+    global_batch = config.train.batch_size * data_dev
     crop = tuple(config.train.crop_size)
 
     dataset = dataset_cls(
@@ -148,7 +151,7 @@ def train_spml(args, config, dataset_cls=datasets_lib.ListTagDataset):
         seed=config.train.seed,
         num_workers=n_dev * config.num_threads))
 
-    mesh = mesh_lib.make_mesh()
+    mesh = mesh_lib.make_mesh(spatial=config.tpu.spatial_partition)
     state = step_lib.init_state(
         config, jax.random.PRNGKey(235 + config.train.seed),
         jnp.zeros((global_batch, crop[0], crop[1], 3)))
@@ -224,7 +227,8 @@ def train_classifier(args, config,
     from spml_tpu.models.embeddings import build_embedding_model
 
     n_dev = max(1, len(jax.devices()))
-    global_batch = config.train.batch_size * n_dev
+    data_dev = max(1, n_dev // max(1, config.tpu.spatial_partition))
+    global_batch = config.train.batch_size * data_dev
     crop = tuple(config.train.crop_size)
 
     dataset = dataset_cls(
@@ -275,7 +279,7 @@ def train_classifier(args, config,
                                               strict_names=False)
         print(f"loaded frozen embedding model from {pre}")
 
-    mesh = mesh_lib.make_mesh()
+    mesh = mesh_lib.make_mesh(spatial=config.tpu.spatial_partition)
     state = cstep_lib.init_classifier_state(
         config, jax.random.PRNGKey(235 + config.train.seed),
         config.network.embedding_dim)
