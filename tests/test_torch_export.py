@@ -1,0 +1,107 @@
+"""Round-trip lock for torch_export: export -> torch_import must
+reproduce the original flax variables exactly, for both heads and the
+classifier, including through a real .pth file.
+
+Reference naming being targeted: the state dicts saved by
+pyscripts/train/train.py:298-302 in twke18/SPML ('embedding_model' /
+'prediction_model' keys, modules resnet_backbone.*, aspp.*/pspp.*,
+semantic_classifier.*).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spml_tpu.models.embeddings import ClassifierHead, EmbeddingModel
+from spml_tpu.utils import torch_export, torch_import
+
+
+def _randomize(variables, seed):
+    """Distinct random values in every leaf so silent drops/mixups
+    cannot cancel out."""
+    rng = np.random.RandomState(seed)
+    return jax.tree.map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32)),
+        variables)
+
+
+def _emb_vars(head, seed):
+    model = EmbeddingModel(depth=10, embedding_dim=8, head=head)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+    return _randomize(v, seed)
+
+
+def _assert_tree_equal(a, b):
+    ja, jb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(ja) == len(jb)
+    for x, y in zip(ja, jb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("head", ["aspp", "pspp"])
+def test_embedding_roundtrip(head):
+    v = _emb_vars(head, seed=1)
+    sd = torch_export.export_embedding_model(v)
+
+    # every exported name must be understood by the importer (i.e. it is
+    # a name the reference's modules would produce)
+    for name in sd:
+        if name.endswith("num_batches_tracked"):
+            continue
+        assert torch_import._flax_path(name) is not None, name
+
+    params, stats = torch_import.convert_state_dict(sd)
+    fresh = jax.tree.map(jnp.zeros_like, v)
+    merged = torch_import.merge_pretrained(fresh, params, stats)
+    _assert_tree_equal(merged["params"], v["params"])
+    _assert_tree_equal(merged["batch_stats"], v["batch_stats"])
+
+    # coverage: every flax leaf must have been exported (no silent gaps)
+    n_leaves = len(jax.tree.leaves(v))
+    n_exported = sum(1 for k in sd if not k.endswith(
+        "num_batches_tracked"))
+    assert n_exported == n_leaves
+
+
+def test_classifier_roundtrip():
+    model = ClassifierHead(num_classes=4, hidden_dim=16)
+    v = _randomize(model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 8, 8)), train=False),
+                   seed=2)
+    sd = torch_export.export_classifier_head(v)
+    assert set(sd) == {
+        "semantic_classifier.0.weight",
+        "semantic_classifier.1.weight", "semantic_classifier.1.bias",
+        "semantic_classifier.1.running_mean",
+        "semantic_classifier.1.running_var",
+        "semantic_classifier.1.num_batches_tracked",
+        "semantic_classifier.4.weight", "semantic_classifier.4.bias",
+    }
+    params, stats = torch_import.convert_state_dict(sd)
+    fresh = jax.tree.map(jnp.zeros_like, v)
+    merged = torch_import.merge_pretrained(fresh, params, stats)
+    _assert_tree_equal(merged["params"], v["params"])
+    _assert_tree_equal(merged["batch_stats"], v["batch_stats"])
+
+
+def test_pth_file_roundtrip(tmp_path):
+    """save_torch_checkpoint -> load_torch_checkpoint, through torch."""
+    pytest.importorskip("torch")
+    emb = _emb_vars("aspp", seed=3)
+    cls = _randomize(
+        ClassifierHead(num_classes=4, hidden_dim=16).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8)), train=False),
+        seed=4)
+    params = {"embedding": emb["params"], "prediction": cls["params"]}
+    stats = {"embedding": emb["batch_stats"],
+             "prediction": cls["batch_stats"]}
+    path = str(tmp_path / "model-99.pth")
+    torch_export.save_torch_checkpoint(path, params, stats)
+
+    p, s = torch_import.load_torch_checkpoint(path, key="embedding_model")
+    fresh = jax.tree.map(jnp.zeros_like, emb)
+    merged = torch_import.merge_pretrained(fresh, p, s)
+    _assert_tree_equal(merged["params"], emb["params"])
+    _assert_tree_equal(merged["batch_stats"], emb["batch_stats"])
