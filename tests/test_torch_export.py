@@ -86,6 +86,66 @@ def test_classifier_roundtrip():
     _assert_tree_equal(merged["batch_stats"], v["batch_stats"])
 
 
+@pytest.mark.parametrize("head,backbone,ref_factory", [
+    ("aspp", "panoptic_deeplab_50", "resnet_deeplab.resnet_50_deeplab"),
+    ("pspp", "panoptic_pspnet_50", "resnet_pspnet.resnet_50_pspnet"),
+])
+def test_export_consumable_by_reference_model(head, backbone,
+                                              ref_factory, monkeypatch):
+    """The real guarantee: the reference's OWN torch model must load our
+    exported state dict (no unexpected keys; only its fixed non-learned
+    buffers missing) and produce the same embeddings."""
+    torch = pytest.importorskip("torch")
+    import os
+    if not os.path.isdir("/root/reference/spml"):
+        pytest.skip("reference checkout not available")
+    from tests.test_model_parity import (_install_reference_path,
+                                         _reference_config)
+    _install_reference_path()
+    import importlib
+
+    from spml_tpu.models.embeddings import build_embedding_model
+
+    # our model with random params and valid BN stats
+    model = build_embedding_model(backbone, 32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 33, 49, 3)),
+                   train=False)
+    rng = np.random.RandomState(7)
+    v = dict(v)
+    v["params"] = jax.tree.map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+        * 0.1, v["params"])
+    v["batch_stats"] = jax.tree.map(
+        lambda x: jnp.asarray(
+            (rng.rand(*x.shape).astype(np.float32) + 0.5)
+            if x.shape else x), v["batch_stats"])
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(val))
+          for k, val in torch_export.export_embedding_model(v).items()}
+
+    mod_name, fn_name = ref_factory.split(".")
+    mod = importlib.import_module(f"spml.models.embeddings.{mod_name}")
+    tm = getattr(mod, fn_name)(_reference_config())
+    # the reference overrides load_state_dict with its warn-and-skip
+    # remapper (base_model.py:26-52); use the vanilla nn.Module loader
+    # to get strict missing/unexpected accounting
+    missing, unexpected = torch.nn.Module.load_state_dict(
+        tm, sd, strict=False)
+    assert not unexpected, unexpected
+    # only the LFN's fixed Gaussian smoothing buffers may be missing
+    assert all(k.startswith("lfn.") for k in missing), missing
+    tm.eval()
+
+    xin = np.random.RandomState(1).randn(1, 33, 49, 3).astype(np.float32)
+    with torch.no_grad():
+        t_emb = tm.generate_embeddings(
+            {"image": torch.tensor(xin.transpose(0, 3, 1, 2))}
+        )["embedding"].numpy().transpose(0, 2, 3, 1)
+    j_emb = np.asarray(model.apply(v, jnp.asarray(xin), train=False)[0])
+    scale = np.abs(t_emb).max() + 1e-9
+    np.testing.assert_allclose(j_emb / scale, t_emb / scale, atol=2e-4)
+
+
 def test_pth_file_roundtrip(tmp_path):
     """save_torch_checkpoint -> load_torch_checkpoint, through torch."""
     pytest.importorskip("torch")
