@@ -131,6 +131,12 @@ class TpuConfig:
     # compiled programs stays small (padding carries ignore labels, so
     # results are unchanged modulo the sliding-window grid)
     pad_to_stride_buckets: bool = True
+    # bulk single-scale KNN inference: group this many same-bucket
+    # images into ONE vmapped program with the image axis sharded over
+    # the device mesh (engine.predict_semantic_batch) — bulk throughput
+    # scales with chips; outputs bit-identical to the per-image path
+    # (tests/test_batch_inference.py). 1 = per-image (default).
+    infer_batch: int = 1
     # JAX persistent compilation cache directory ('' disables); warmup
     # compiles are then paid once per machine, not per process
     compilation_cache_dir: str = "~/.cache/spml_tpu_xla"

@@ -143,6 +143,7 @@ class InferenceEngine:
             donate_argnums=(0,))
         self._fused_predict = jax.jit(
             self._fused_predict_impl, static_argnames=("num_classes",))
+        self._batch_predict_cache = {}
         self._fused_prototype = jax.jit(
             self._fused_prototype_impl, static_argnames=("num_classes",))
         self._majority = jax.jit(
@@ -451,6 +452,80 @@ class InferenceEngine:
             emb_map, sem, inst, memory_protos, memory_labels,
             memory_valid, num_classes)
         return pred.astype(jnp.uint16)
+
+    def _fused_predict_batch_impl(self, imgs, hws, memory_protos,
+                                  memory_labels, memory_valid,
+                                  num_classes: int):
+        """_fused_predict_impl vmapped over a leading image axis —
+        bulk KNN inference as ONE program. With the image axis sharded
+        over a Mesh('data'), GSPMD runs each device's images locally
+        (the memory bank is replicated), so bulk throughput scales with
+        chips. No reference counterpart: inference.py:114-228 is a
+        strictly per-image, single-GPU loop."""
+        return jax.vmap(
+            lambda im, hw: self._fused_predict_impl(
+                im, hw, memory_protos, memory_labels, memory_valid,
+                num_classes))(imgs, hws)
+
+    def _batch_predict_fn(self, mesh):
+        if mesh not in self._batch_predict_cache:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            # pjit forbids kwargs with in_shardings -> positional static
+            self._batch_predict_cache[mesh] = jax.jit(
+                self._fused_predict_batch_impl,
+                static_argnums=(5,),
+                in_shardings=(data, data, repl, repl, repl),
+                out_shardings=data)
+        return self._batch_predict_cache[mesh]
+
+    def predict_semantic_batch(self, images, memory_protos,
+                               memory_labels, memory_valid,
+                               mesh=None) -> list[np.ndarray]:
+        """Data-parallel bulk single-scale KNN inference: the image
+        group is padded to its max pad bucket and run as one vmapped
+        program with the image axis sharded over `mesh` ('data' axis;
+        None = single device). Returns per-image [h, w] int32
+        predictions. Images sharing a pad bucket produce bit-identical
+        results to predict_semantic; mixing buckets in one group shifts
+        the sliding-window grid of the smaller images (the same
+        documented caveat as pad bucketing itself), so callers group
+        per bucket for exactness (runner does)."""
+        n = len(images)
+        shapes = [im.shape[:2] for im in images]
+        pads = [self.bucket_shape(h, w) for h, w in shapes]
+        pad = (max(p[0] for p in pads), max(p[1] for p in pads))
+        n_dev = int(np.prod(list(mesh.shape.values()))) if mesh else 1
+        m = -(-n // n_dev) * n_dev  # pad group to device-count multiple
+        imgs = np.stack([
+            transforms.resize_with_pad(images[min(i, n - 1)], pad, 0.0)
+            for i in range(m)])
+        hws = np.asarray([shapes[min(i, n - 1)] for i in range(m)],
+                         np.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            imgs_dev = jax.device_put(
+                jnp.asarray(imgs, self._img_dtype), data)
+            hws_dev = jax.device_put(jnp.asarray(hws), data)
+            mem = [jax.device_put(x, repl) for x in
+                   (memory_protos, memory_labels, memory_valid)]
+            fn = self._batch_predict_fn(mesh)
+        else:
+            imgs_dev = jnp.asarray(imgs, self._img_dtype)
+            hws_dev = jnp.asarray(hws)
+            mem = (memory_protos, memory_labels, memory_valid)
+            if None not in self._batch_predict_cache:
+                self._batch_predict_cache[None] = jax.jit(
+                    self._fused_predict_batch_impl,
+                    static_argnums=(5,))
+            fn = self._batch_predict_cache[None]
+        preds = np.asarray(fn(imgs_dev, hws_dev, *mem,
+                              self.config.dataset.num_classes))
+        return [preds[i, :h, :w].astype(np.int32)
+                for i, (h, w) in enumerate(shapes[:n])]
 
     def _fused_prototype_impl(self, img, real_sem, hw, num_classes: int):
         """Whole memory-bank entry build (prototype.py:184-227) as one

@@ -30,6 +30,44 @@ from spml_tpu.ops import common, randomwalk
 from spml_tpu.utils import vis
 
 
+class _PredictBatcher:
+    """Groups same-pad-bucket images and runs them through ONE vmapped
+    KNN-prediction program (engine.predict_semantic_batch) with the
+    image axis sharded over the device mesh — bulk throughput scales
+    with chips while outputs stay bit-identical to the per-image path
+    (same bucket => same program; tests/test_batch_inference.py)."""
+
+    def __init__(self, eng, memory, group_size: int, save):
+        from spml_tpu.parallel import mesh as mesh_lib
+        self.eng = eng
+        self.memory = memory
+        self.group = max(2, int(group_size))
+        self.save = save  # save(pred, base, oh, ow)
+        self.mesh = (mesh_lib.make_mesh()
+                     if len(jax.devices()) > 1 else None)
+        self._buckets: dict = {}
+
+    def add(self, base: str, image: np.ndarray, oh: int, ow: int):
+        key = self.eng.bucket_shape(*image.shape[:2])
+        pend = self._buckets.setdefault(key, [])
+        pend.append((base, image, oh, ow))
+        if len(pend) >= self.group:
+            self._flush(key)
+
+    def _flush(self, key):
+        pend = self._buckets.pop(key, [])
+        if not pend:
+            return
+        preds = self.eng.predict_semantic_batch(
+            [p[1] for p in pend], *self.memory, mesh=self.mesh)
+        for (base, _, oh, ow), pred in zip(pend, preds):
+            self.save(pred, base, oh, ow)
+
+    def flush_all(self):
+        for key in list(self._buckets):
+            self._flush(key)
+
+
 class _AsyncSink:
     """Bounded thread pool for the per-image HOST tail (DenseCRF +
     argmax + PNG save): ctypes releases the GIL during the C++ CRF, so
@@ -201,6 +239,16 @@ def run_knn_inference(args, config, msc=False, crf=False,
         cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
         print(f"inference {base}", flush=True)
 
+    batcher = None
+    if not msc and not crf and getattr(config.tpu, "infer_batch", 1) > 1:
+        def _save_batched(pred, base, oh, ow):
+            pred = _resize_pred_to(pred, oh, ow)
+            cli.save_semantic_pngs(pred, base, args.save_dir, color_map)
+            print(f"inference {base}", flush=True)
+
+        batcher = _PredictBatcher(eng, memory, config.tpu.infer_batch,
+                                  _save_batched)
+
     with _AsyncSink() as sink:
         for _, base, image0, _, _ in cli.iterate_test_images(
                 config, args.data_dir, args.data_list):
@@ -224,12 +272,16 @@ def run_knn_inference(args, config, msc=False, crf=False,
                 else:
                     probs = eng.predict_topk_probs(image, *memory)
                 sink.submit(_tail, probs, image0, base, oh, ow)
+            elif batcher is not None:
+                batcher.add(base, image, oh, ow)
             else:
                 pred = eng.predict_semantic(image, *memory)
                 pred = _resize_pred_to(pred, oh, ow)
                 cli.save_semantic_pngs(pred, base, args.save_dir,
                                        color_map)
                 print(f"inference {base}", flush=True)
+        if batcher is not None:
+            batcher.flush_all()
 
 
 def run_softmax_inference(args, config, msc=False, crf=False,
