@@ -47,6 +47,7 @@ render_config () {
     -e "s/SEM_OCC_LOSS_WEIGHT/${SEM_OCC_LOSS_WEIGHT}/g" \
     -e "s/IMG_SIM_LOSS_WEIGHT/${IMG_SIM_LOSS_WEIGHT}/g" \
     -e "s/FEAT_AFF_LOSS_WEIGHT/${FEAT_AFF_LOSS_WEIGHT}/g" \
+    -e "s/APPLY_FEAT_AFF/${APPLY_FEAT_AFF:-false}/g" \
     "${template}" > "${out}"
   cat "${out}"
 }

@@ -39,6 +39,11 @@ SEM_ANN_LOSS_WEIGHT=${SEM_ANN_LOSS_WEIGHT:-1.0}
 SEM_OCC_LOSS_WEIGHT=${SEM_OCC_LOSS_WEIGHT:-0.0}
 IMG_SIM_LOSS_WEIGHT=${IMG_SIM_LOSS_WEIGHT:-0.1}
 FEAT_AFF_LOSS_WEIGHT=${FEAT_AFF_LOSS_WEIGHT:-0.5}
+# The reference carries the same aff 12 / 0.5 config but its effective
+# objective never invokes feat_aff_loss (segsort_softmax_densepose.py:
+# 64-68 construct it, :195-254 never call it). Default false matches
+# that shipped behavior; set true for the paper-semantics term.
+APPLY_FEAT_AFF=${APPLY_FEAT_AFF:-false}
 
 INFERENCE_SPLIT=${INFERENCE_SPLIT:-minival2014}
 INFERENCE_IMAGE_SIZE=${INFERENCE_IMAGE_SIZE:-640}

@@ -372,6 +372,15 @@ def compare(ref_curve, our_curve):
         if len(r) >= 3:
             out["per_key"][k]["curve_corr"] = float(
                 np.corrcoef(r, o)[0, 1])
+        if len(r) >= 100:
+            # drift diagnostics for long horizons: how fast the two
+            # implementations separate (slope of rel diff per 100
+            # iters) and where they end up (mean over the last 50).
+            it = np.arange(len(rel), dtype=np.float64)
+            slope = float(np.polyfit(it, rel, 1)[0])
+            out["per_key"][k]["drift_slope_per_100_iters"] = slope * 100
+            out["per_key"][k]["mean_rel_diff_last50"] = float(
+                rel[-50:].mean())
     return out
 
 

@@ -65,6 +65,10 @@ class TrainConfig:
     base_lr: float = 3e-3
     weight_decay: float = 5e-4
     momentum: float = 0.9
+    # 'sgd' (the reference's shipped pipelines) or 'adam'
+    # (lib/nn/optimizer.py:107-179 — part of the reference's optimizer
+    # surface; same per-group LR multipliers / wd masks either way)
+    optimizer: str = "sgd"
     batch_size: int = 4           # per the reference: per-device batch
     crop_size: tuple = (512, 512)
     memory_bank_size: int = 2
@@ -159,6 +163,15 @@ class TpuConfig:
     profile_dir: str = ""
     profile_start: int = 10
     profile_steps: int = 5
+    # DensePose feat_aff term: the reference CONSTRUCTS feat_aff_loss in
+    # every predictor (segsort_softmax_densepose.py:64-68) but its
+    # effective objective never invokes it (:195-254 — no call), so the
+    # shipped DensePose 44.15 mIoU was trained WITHOUT the term. Default
+    # False reproduces that effective objective even when the config
+    # surface carries feat_aff types/weights (as the reference's shipped
+    # bash defaults do); True enables the paper-semantics term (the
+    # NN-propagated tag set-loss at feat_aff concentration/weight).
+    apply_feat_aff: bool = False
     # per-residual-block rematerialization in the backbone: save only
     # block boundaries, recompute intra-block conv/BN/relu activations
     # during backward (models/resnet.py::Stage.remat). The memory lever

@@ -205,6 +205,21 @@ def make_adam_optimizer(params, train_cfg, schedule: Callable | None = None,
     )
 
 
+def build_optimizer(params, train_cfg,
+                    schedule: Callable | None = None
+                    ) -> optax.GradientTransformation:
+    """Dispatch on train.optimizer ('sgd' | 'adam') — the config-level
+    counterpart of the reference importing SGD or Adam from
+    lib/nn/optimizer.py."""
+    kind = getattr(train_cfg, "optimizer", "sgd")
+    if kind == "adam":
+        return make_adam_optimizer(params, train_cfg, schedule)
+    if kind != "sgd":
+        raise ValueError(f"train.optimizer must be 'sgd' or 'adam', "
+                         f"got {kind!r}")
+    return make_optimizer(params, train_cfg, schedule)
+
+
 def clip_grads(grads, clip_value: float):
     """Elementwise gradient clamp to [-clip_value, clip_value].
 

@@ -74,7 +74,7 @@ def init_state(config, rng, sample_image) -> TrainState:
     params = {"embedding": evars["params"], "prediction": cvars["params"]}
     batch_stats = {"embedding": evars["batch_stats"],
                    "prediction": cvars["batch_stats"]}
-    tx = optim.make_optimizer(params, config.train)
+    tx = optim.build_optimizer(params, config.train)
     opt_state = tx.init(params)
 
     b_global = sample_image.shape[0]
@@ -137,7 +137,12 @@ def make_train_step(config, emb_model=None, cls_model=None):
     use_sem_ann = tcfg.sem_ann_loss_types != "none"
     use_sem_occ = tcfg.sem_occ_loss_types != "none"
     use_img_sim = tcfg.img_sim_loss_types != "none"
-    use_feat_aff = tcfg.feat_aff_loss_types != "none"
+    # feat_aff: the reference constructs the term but its effective
+    # objective never invokes it (segsort_softmax_densepose.py:64-68 vs
+    # :195-254). tpu.apply_feat_aff=False (default) reproduces that
+    # effective objective; True enables the paper-semantics term.
+    use_feat_aff = (tcfg.feat_aff_loss_types != "none"
+                    and config.tpu.apply_feat_aff)
     densepose = "densepose" in config.network.backbone_types
     tx = None  # built lazily against the param tree
 
@@ -407,9 +412,11 @@ def make_train_step(config, emb_model=None, cls_model=None):
         # ---- feature affinity ----
         # NOTE: the reference CONSTRUCTS feat_aff_loss in every predictor
         # (segsort_softmax*.py:61-68) but never invokes it — the shipped
-        # DensePose config's "aff 12 / 0.5" is dead code there. We
-        # implement the paper/config semantics: the NN-propagated tag
-        # set-loss at feat_aff concentration/weight.
+        # DensePose config's "aff 12 / 0.5" is dead code there, so
+        # use_feat_aff is additionally gated on tpu.apply_feat_aff
+        # (default False == the reference's effective objective). When
+        # enabled we implement the paper/config semantics: the
+        # NN-propagated tag set-loss at feat_aff concentration/weight.
         if use_feat_aff and densepose:
             aff_ll = losses.set_segsort_loss(
                 emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
@@ -455,7 +462,7 @@ def make_train_step(config, emb_model=None, cls_model=None):
 
         nonlocal tx
         if tx is None:
-            tx = optim.make_optimizer(state.params, tcfg, schedule)
+            tx = optim.build_optimizer(state.params, tcfg, schedule)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 

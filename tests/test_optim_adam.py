@@ -166,3 +166,64 @@ def test_adam_matches_reference_torch():
     np.testing.assert_allclose(ours["aspp"]["bias"],
                                t_hb.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_adam_wired_into_train_step_end_to_end():
+    """train.optimizer='adam' reaches init_state/train_step: the opt
+    state carries Adam moments and a real step updates the params."""
+    import optax
+
+    from spml_tpu.config import load_config
+    from spml_tpu.train import step as step_lib
+
+    cfg = load_config(overrides={
+        "network": {"backbone_types": "panoptic_deeplab_10",
+                    "embedding_dim": 8, "kmeans_num_clusters": [2, 2],
+                    "kmeans_iterations": 3},
+        "dataset": {"num_classes": 4},
+        "train": {"batch_size": 2, "crop_size": [32, 32],
+                  "memory_bank_size": 1, "max_iteration": 100,
+                  "warmup_iteration": 10, "optimizer": "adam"},
+        "tpu": {"segment_capacity": 32, "compute_dtype": "float32"},
+    })
+    rng = np.random.RandomState(3)
+    img = jnp.zeros((2, 32, 32, 3))
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    adam_states = [s for s in jax.tree.leaves(
+        state.opt_state, is_leaf=lambda x: isinstance(
+            x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states, "opt_state does not carry Adam moments"
+
+    step = jax.jit(step_lib.make_train_step(cfg))
+    batch = {
+        "image": jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32),
+        "semantic_label": jnp.asarray(
+            rng.randint(0, 5, (2, 32, 32)), jnp.int32),
+        "instance_label": jnp.asarray(
+            rng.randint(0, 4, (2, 32, 32)), jnp.int32),
+        "semantic_tag": jnp.asarray(rng.rand(2, 256) > 0.6, jnp.int32),
+    }
+    p0 = jax.device_get(state.params)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p0),
+                        jax.tree.leaves(jax.device_get(state.params))))
+    assert moved
+
+
+def test_bad_optimizer_name_rejected():
+    class TrainCfg:
+        weight_decay = 5e-4
+        momentum = 0.9
+        optimizer = "adamw"
+        lr_policy = "poly"
+        base_lr = 3e-3
+        max_iteration = 10
+        warmup_iteration = 0
+
+    with pytest.raises(ValueError):
+        optim.build_optimizer(jax.tree.map(jnp.asarray, _params()),
+                              TrainCfg)

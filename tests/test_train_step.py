@@ -162,10 +162,8 @@ def test_empty_segments_do_not_nan_gradients():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
-def test_densepose_step_runs_with_nn_tags():
-    """DensePose variant: NN-propagated tags drive sem_occ/feat_aff;
-    color+location local features; plain-embedding img_sim."""
-    cfg = load_config(overrides={
+def _densepose_config(**tpu_extra):
+    return load_config(overrides={
         "network": {"backbone_types": "panoptic_pspnet_101_densepose",
                     "embedding_dim": 8, "kmeans_num_clusters": [2, 2],
                     "kmeans_iterations": 2},
@@ -177,8 +175,16 @@ def test_densepose_step_runs_with_nn_tags():
                   "feat_aff_loss_types": "segsort",
                   "feat_aff_concentration": 12.0,
                   "feat_aff_loss_weight": 0.5},
-        "tpu": {"segment_capacity": 32, "compute_dtype": "float32"},
+        "tpu": {"segment_capacity": 32, "compute_dtype": "float32",
+                **tpu_extra},
     })
+
+
+def test_densepose_step_runs_with_nn_tags():
+    """DensePose variant with tpu.apply_feat_aff=True (paper-semantics
+    mode): NN-propagated tags drive feat_aff; color+location local
+    features; plain-embedding img_sim."""
+    cfg = _densepose_config(apply_feat_aff=True)
     rng = np.random.RandomState(7)
     img = jnp.zeros((2, 32, 32, 3))
     state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
@@ -191,6 +197,34 @@ def test_densepose_step_runs_with_nn_tags():
     assert "feat_aff_loss" in metrics
     assert np.isfinite(float(metrics["feat_aff_loss"]))
     assert "sem_occ_loss" not in metrics
+
+
+def test_densepose_default_matches_reference_effective_objective():
+    """The DEFAULT densepose objective must equal the reference's
+    EFFECTIVE one: feat_aff is constructed but never invoked there
+    (segsort_softmax_densepose.py:64-68 vs :195-254), so with
+    tpu.apply_feat_aff at its default (False) the shipped aff 12 / 0.5
+    config must contribute nothing — bitwise the same step as
+    feat_aff_loss_types='none'."""
+    cfg_default = _densepose_config()
+    assert cfg_default.tpu.apply_feat_aff is False
+    cfg_none = _densepose_config()
+    cfg_none.train.feat_aff_loss_types = "none"
+
+    rng = np.random.RandomState(7)
+    img = jnp.zeros((2, 32, 32, 3))
+    batch = _batch(rng, 2, 32, c=15)
+    results = []
+    for cfg in (cfg_default, cfg_none):
+        state = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+        step = jax.jit(step_lib.make_train_step(cfg))
+        state, metrics = step(state, batch)
+        results.append((jax.device_get(state.params), metrics))
+    (p_def, m_def), (p_none, m_none) = results
+    assert "feat_aff_loss" not in m_def
+    assert float(m_def["loss"]) == float(m_none["loss"])
+    for a, b in zip(jax.tree.leaves(p_def), jax.tree.leaves(p_none)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_softmax_classifier_prediction_mode():
