@@ -492,6 +492,8 @@ class InferenceEngine:
         the sliding-window grid of the smaller images (the same
         documented caveat as pad bucketing itself), so callers group
         per bucket for exactness (runner does)."""
+        if not images:
+            return []
         n = len(images)
         shapes = [im.shape[:2] for im in images]
         pads = [self.bucket_shape(h, w) for h, w in shapes]

@@ -54,11 +54,20 @@ def _spatial(mesh: Mesh) -> bool:
     return "space" in mesh.axis_names and mesh.shape["space"] > 1
 
 
-def batch_sharding(mesh: Mesh, ndim: int | None = None) -> NamedSharding:
+# Batch keys whose axis 1 is the image HEIGHT — the only leaves that
+# shard over 'space'. An explicit allowlist (not an ndim heuristic): a
+# future [B, P, D] batch leaf must not silently land on the spatial
+# axis with the wrong layout.
+SPATIAL_KEYS = frozenset({"image", "semantic_label", "instance_label"})
+
+
+def batch_sharding(mesh: Mesh, ndim: int | None = None,
+                   key: str | None = None) -> NamedSharding:
     """Leading axis sharded over 'data'; on a 2-D ('data', 'space') mesh,
-    array leaves with a spatial H axis (ndim >= 3: [B, H, ...]) are
-    additionally sharded over 'space' on axis 1."""
-    if _spatial(mesh) and ndim is not None and ndim >= 3:
+    the known spatial leaves (SPATIAL_KEYS, [B, H, ...] with ndim >= 3)
+    are additionally sharded over 'space' on axis 1."""
+    if (_spatial(mesh) and ndim is not None and ndim >= 3
+            and key in SPATIAL_KEYS):
         return NamedSharding(mesh, P("data", "space"))
     return NamedSharding(mesh, P("data"))
 
@@ -91,7 +100,7 @@ def shard_train_step(train_step, mesh: Mesh):
 
 
 def device_put_batch(batch: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
-    return {k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+    return {k: jax.device_put(v, batch_sharding(mesh, np.ndim(v), k))
             for k, v in batch.items()}
 
 

@@ -114,3 +114,11 @@ def test_runner_batcher_groups_by_bucket():
     assert set(saved) == set(singles)
     for base in singles:
         np.testing.assert_array_equal(saved[base], singles[base])
+
+
+def test_batch_empty_list_returns_empty():
+    """Public-API guard: an empty image group is a no-op, not a crash."""
+    eng, _ = _engine()
+    rng = np.random.RandomState(0)
+    memory = _memory(rng)
+    assert eng.predict_semantic_batch([], *memory) == []

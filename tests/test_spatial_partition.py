@@ -36,11 +36,15 @@ def test_mesh_shapes_and_shardings():
     devs = jax.devices("cpu")
     mesh = mesh_lib.make_mesh(devices=devs, spatial=2)
     assert mesh.shape == {"data": 4, "space": 2}
-    # image [B,H,W,C] shards H over 'space'; tags [B,256] do not
-    sh4 = mesh_lib.batch_sharding(mesh, 4)
-    sh2 = mesh_lib.batch_sharding(mesh, 2)
+    # image [B,H,W,C] shards H over 'space'; tags [B,256] do not;
+    # neither does a non-spatial ndim>=3 leaf (key allowlist, not an
+    # ndim heuristic)
+    sh4 = mesh_lib.batch_sharding(mesh, 4, "image")
+    sh2 = mesh_lib.batch_sharding(mesh, 2, "semantic_tag")
+    sh3 = mesh_lib.batch_sharding(mesh, 3, "proto_features")
     assert sh4.spec == jax.sharding.PartitionSpec("data", "space")
     assert sh2.spec == jax.sharding.PartitionSpec("data")
+    assert sh3.spec == jax.sharding.PartitionSpec("data")
     with pytest.raises(ValueError):
         mesh_lib.make_mesh(devices=devs, spatial=3)
 

@@ -165,3 +165,53 @@ def test_pth_file_roundtrip(tmp_path):
     merged = torch_import.merge_pretrained(fresh, p, s)
     _assert_tree_equal(merged["params"], emb["params"])
     _assert_tree_equal(merged["batch_stats"], emb["batch_stats"])
+
+
+def test_export_cli_restores_orbax_snapshot(tmp_path):
+    """The CLI glue (pyscripts/misc/export_torch_checkpoint.py): a
+    checkpoint.save'd TrainState must restore through the script's
+    template-free mgr.restore path and export to a loadable .pth — an
+    orbax raw-restore structure change would break this first."""
+    torch = pytest.importorskip("torch")
+    import runpy
+    import sys
+
+    from spml_tpu.config import load_config
+    from spml_tpu.train import step as step_lib
+    from spml_tpu.utils import checkpoint
+
+    cfg = load_config(overrides={
+        "network": {"backbone_types": "panoptic_deeplab_10",
+                    "embedding_dim": 8, "kmeans_num_clusters": [2, 2],
+                    "kmeans_iterations": 2},
+        "dataset": {"num_classes": 4},
+        "train": {"batch_size": 1, "crop_size": [16, 16],
+                  "memory_bank_size": 1},
+        "tpu": {"segment_capacity": 16, "compute_dtype": "float32"},
+    })
+    state = step_lib.init_state(cfg, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 16, 16, 3)))
+    snap = tmp_path / "snap"
+    checkpoint.save(str(snap / "checkpoints"), 7, state)
+
+    out = tmp_path / "model-7.pth"
+    argv = sys.argv
+    sys.argv = ["export_torch_checkpoint.py",
+                "--snapshot_dir", str(snap), "--out", str(out)]
+    try:
+        runpy.run_path("pyscripts/misc/export_torch_checkpoint.py",
+                       run_name="__main__")
+    finally:
+        sys.argv = argv
+
+    sd = torch.load(str(out), map_location="cpu", weights_only=False)
+    assert set(sd) == {"embedding_model", "prediction_model"}
+    # the exported embedding weights round-trip through the importer
+    params, stats = torch_import.convert_state_dict(sd["embedding_model"])
+    merged = torch_import.merge_pretrained(
+        jax.tree.map(jnp.zeros_like,
+                     {"params": state.params["embedding"],
+                      "batch_stats": state.batch_stats["embedding"]}),
+        params, stats)
+    _assert_tree_equal(merged["params"],
+                       jax.device_get(state.params["embedding"]))
