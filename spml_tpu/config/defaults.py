@@ -122,6 +122,16 @@ class TpuConfig:
     # small prototype counts but required for large batches / memory banks
     # where the dense similarity matrix would not fit.
     use_fused_loss: bool = False
+    # operand dtype for the fused loss kernels' embedding/prototype
+    # reads ('' = float32). bf16 halves the kernels' HBM bytes and runs
+    # the logits matmuls single-pass on the MXU, with f32 accumulation
+    # and exact-f32 cotangents — but MEASURED NEUTRAL on v5e (34.5 vs
+    # 35.3 ms joint fwd+bwd at full fill: the kernel is VPU-issue-bound
+    # on the masked elementwise passes, not byte-bound; PERF.md).
+    # Default stays f32 for exact numerics; the knob remains a lever
+    # for geometries where the sweep does go bandwidth-bound (numerics
+    # delta quantified in tests/test_pallas_loss.py).
+    loss_operand_dtype: str = ""
     # loss reduction across the global batch:
     # 'per_device_mean' (default) = mean over each train.batch_size image
     #   group's valid pixels, then mean over groups — the reference's

@@ -50,6 +50,22 @@ BLOCK_N = 512
 BLOCK_P = 1024
 
 
+def _op_dtype(name: str):
+    """Kernel operand dtype for the embedding/prototype matrices.
+
+    'bfloat16' halves the HBM bytes the streaming kernels move and lets
+    the logits matmuls run single-pass on the MXU (an f32 dot_general
+    decomposes into multiple bf16 passes). All accumulation stays f32
+    (preferred_element_type), the statistics/log-likelihood math is
+    f32, and the cast happens INSIDE the custom-VJP boundary so the
+    returned cotangents are exact f32 — only the operand reads are
+    rounded. With tpu.compute_dtype=bfloat16 the embeddings already
+    carry bf16-level rounding out of the conv head, so this adds no
+    meaningfully new noise (quantified in tests/test_pallas_loss.py and
+    the synthetic A/B)."""
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
 def _pad_to(x, multiple, axis, value=0):
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -147,9 +163,12 @@ def _stats_kernel(kappa, nv_ref, emb_ref, pix_lab_ref, own_ref, protos_ref,
 
 
 def _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab, num_valid,
-                    kappa, interpret):
+                    kappa, interpret, operand_dtype="float32"):
     n, d = emb.shape
     p = protos.shape[0]
+    dt = _op_dtype(operand_dtype)
+    emb = emb.astype(dt)
+    protos = protos.astype(dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -210,7 +229,9 @@ def _grad_coeff_kernel(kappa, nv_ref, emb_ref, pix_lab_ref, own_ref,
         g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
              + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
              + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
-        c = kappa * sims * g
+        # cast to the operand dtype (no-op in f32 mode) so the matmul
+        # is single-pass MXU under bf16 operands; accumulation stays f32
+        c = (kappa * sims * g).astype(protos_ref.dtype)
         de_out[...] += jax.lax.dot_general(
             c, protos_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -247,15 +268,16 @@ def _grad_proto_kernel(kappa, nv_ref, emb_ref, pix_lab_ref, own_ref,
         g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
              + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
              + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
-        c = kappa * sims * g  # [BLOCK_N, BLOCK_P]
+        # [BLOCK_N, BLOCK_P]; operand-dtype cast as in _grad_coeff_kernel
+        c = (kappa * sims * g).astype(emb_ref.dtype)
         dp_out[...] += jax.lax.dot_general(
             c, emb_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def segsort_stats(emb, pix_lab, own_idx, protos, proto_lab, num_valid,
-                  kappa, interpret=False):
+                  kappa, interpret=False, operand_dtype="float32"):
     """(own, same_sum, diff_sum) per pixel, all [N] float32.
 
     Args:
@@ -271,21 +293,24 @@ def segsort_stats(emb, pix_lab, own_idx, protos, proto_lab, num_valid,
       kappa: python float concentration.
     """
     return _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab,
-                           num_valid, kappa, interpret)
+                           num_valid, kappa, interpret, operand_dtype)
 
 
 def _stats_fwd(emb, pix_lab, own_idx, protos, proto_lab, num_valid, kappa,
-               interpret):
+               interpret, operand_dtype):
     out = _stats_fwd_call(emb, pix_lab, own_idx, protos, proto_lab,
-                          num_valid, kappa, interpret)
+                          num_valid, kappa, interpret, operand_dtype)
     return out, (emb, pix_lab, own_idx, protos, proto_lab, num_valid)
 
 
-def _stats_bwd(kappa, interpret, residuals, grads):
+def _stats_bwd(kappa, interpret, operand_dtype, residuals, grads):
     emb, pix_lab, own_idx, protos, proto_lab, num_valid = residuals
     g_own, g_same, g_diff = grads
     n, d = emb.shape
     p = protos.shape[0]
+    dt = _op_dtype(operand_dtype)
+    emb = emb.astype(dt)
+    protos = protos.astype(dt)
 
     de = pl.pallas_call(
         functools.partial(_grad_coeff_kernel, kappa),
@@ -340,7 +365,8 @@ segsort_stats.defvjp(_stats_fwd, _stats_bwd)
 def fused_segsort_loss(embeddings, semantic_labels, own_segment_ids,
                        prototypes, prototype_semantic_labels, concentration,
                        pixel_mask, prototype_mask, interpret=False,
-                       reduction="mean", compact=True):
+                       reduction="mean", compact=True,
+                       operand_dtype="float32"):
     """Drop-in replacement for spml_tpu.ops.losses.segsort_loss backed by
     the fused kernel. Pads N to 256 and P to 512 internally; padded
     pixels/prototypes are masked out exactly (invalid label -1).
@@ -370,7 +396,7 @@ def fused_segsort_loss(embeddings, semantic_labels, own_segment_ids,
 
     own_s, same_s, diff_s = segsort_stats(emb, pix_lab, own, protos, plab,
                                           num_valid, float(concentration),
-                                          interpret)
+                                          interpret, operand_dtype)
     own_s, same_s, diff_s = own_s[:n0], same_s[:n0], diff_s[:n0]
     return _ll_from_stats(own_s, same_s, diff_s, pixel_mask, reduction)
 
@@ -452,7 +478,7 @@ def _set_grad_kernel(kappa, transpose, nv_ref, emb_ref, pix_tag_ref,
         g = (jnp.where(own_mask, g_own_ref[0, :][:, None], 0.0)
              + jnp.where(same, g_same_ref[0, :][:, None], 0.0)
              + jnp.where(diff, g_diff_ref[0, :][:, None], 0.0))
-        c = kappa * sims * g
+        c = (kappa * sims * g).astype(emb_ref.dtype)
         if transpose:
             out_ref[...] += jax.lax.dot_general(
                 c, emb_ref[...],
@@ -466,10 +492,15 @@ def _set_grad_kernel(kappa, transpose, nv_ref, emb_ref, pix_tag_ref,
 
 
 def _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
-                        proto_valid, num_valid, kappa, interpret):
+                        proto_valid, num_valid, kappa, interpret,
+                        operand_dtype="float32"):
     n, d = emb.shape
     p = protos.shape[0]
     t = pix_tags.shape[1]
+    dt = _op_dtype(operand_dtype)
+    # tags are 0/1 with intersection counts <= tag width (exact in bf16)
+    emb, protos = emb.astype(dt), protos.astype(dt)
+    pix_tags, proto_tags = pix_tags.astype(dt), proto_tags.astype(dt)
     kernel = functools.partial(_set_stats_kernel, kappa)
     own, same, diff = pl.pallas_call(
         kernel,
@@ -498,9 +529,10 @@ def _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
     return own[0], same[0], diff[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def set_segsort_stats(emb, pix_tags, own_idx, protos, proto_tags,
-                      proto_valid, num_valid, kappa, interpret=False):
+                      proto_valid, num_valid, kappa, interpret=False,
+                      operand_dtype="float32"):
     """(own, same_sum, diff_sum) with multi-hot tag membership.
 
     pix_tags [N, T] / proto_tags [P, T] float32; same-class means the tag
@@ -508,24 +540,29 @@ def set_segsort_stats(emb, pix_tags, own_idx, protos, proto_tags,
     as in segsort_stats (sorted valid-first, tiles past it skipped).
     """
     return _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
-                               proto_valid, num_valid, kappa, interpret)
+                               proto_valid, num_valid, kappa, interpret,
+                               operand_dtype)
 
 
 def _set_stats_fwd(emb, pix_tags, own_idx, protos, proto_tags, proto_valid,
-                   num_valid, kappa, interpret):
+                   num_valid, kappa, interpret, operand_dtype):
     out = _set_stats_fwd_call(emb, pix_tags, own_idx, protos, proto_tags,
-                              proto_valid, num_valid, kappa, interpret)
+                              proto_valid, num_valid, kappa, interpret,
+                              operand_dtype)
     return out, (emb, pix_tags, own_idx, protos, proto_tags, proto_valid,
                  num_valid)
 
 
-def _set_stats_bwd(kappa, interpret, residuals, grads):
+def _set_stats_bwd(kappa, interpret, operand_dtype, residuals, grads):
     (emb, pix_tags, own_idx, protos, proto_tags, proto_valid,
      num_valid) = residuals
     g_own, g_same, g_diff = grads
     n, d = emb.shape
     p = protos.shape[0]
     t = pix_tags.shape[1]
+    dt = _op_dtype(operand_dtype)
+    emb, protos = emb.astype(dt), protos.astype(dt)
+    pix_tags, proto_tags = pix_tags.astype(dt), proto_tags.astype(dt)
 
     common_in = [
         num_valid, emb, pix_tags, own_idx[None], g_own[None], g_same[None],
@@ -584,7 +621,8 @@ set_segsort_stats.defvjp(_set_stats_fwd, _set_stats_bwd)
 def fused_set_segsort_loss(embeddings, semantic_tags, own_segment_ids,
                            prototypes, prototype_semantic_tags,
                            concentration, pixel_mask, prototype_mask,
-                           interpret=False, reduction="mean", compact=True):
+                           interpret=False, reduction="mean", compact=True,
+                           operand_dtype="float32"):
     """Drop-in replacement for spml_tpu.ops.losses.set_segsort_loss.
     reduction="none" returns the per-pixel [N] log-likelihoods."""
     n0 = embeddings.shape[0]
@@ -612,7 +650,7 @@ def fused_set_segsort_loss(embeddings, semantic_tags, own_segment_ids,
 
     own_s, same_s, diff_s = set_segsort_stats(
         emb, ptags, own, protos, qtags, pvalid, num_valid,
-        float(concentration), interpret)
+        float(concentration), interpret, operand_dtype)
     own_s, same_s, diff_s = own_s[:n0], same_s[:n0], diff_s[:n0]
     return _ll_from_stats(own_s, same_s, diff_s, pixel_mask, reduction)
 
@@ -725,7 +763,8 @@ def _joint_grad_kernel(kappa_a, kappa_o, transpose, nv_ref, emb_ref,
         g_o = (jnp.where(own_mask, go_own_ref[0, :][:, None], 0.0)
                + jnp.where(same_o, go_same_ref[0, :][:, None], 0.0)
                + jnp.where(diff_o, go_diff_ref[0, :][:, None], 0.0))
-        c = kappa_a * sims_a * g_a + kappa_o * sims_o * g_o
+        c = (kappa_a * sims_a * g_a
+             + kappa_o * sims_o * g_o).astype(emb_ref.dtype)
         if transpose:
             out_ref[...] += jax.lax.dot_general(
                 c, emb_ref[...],
@@ -769,9 +808,11 @@ def _joint_in_specs(d, transpose):
 
 def _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
                     proto_tags, proto_valid, num_valid, kappa_a, kappa_o,
-                    interpret):
+                    interpret, operand_dtype="float32"):
     n, d = emb.shape
     p = protos.shape[0]
+    dt = _op_dtype(operand_dtype)
+    emb, protos = emb.astype(dt), protos.astype(dt)
     outs = pl.pallas_call(
         functools.partial(_joint_stats_kernel, kappa_a, kappa_o),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -797,10 +838,11 @@ def _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
     return tuple(o[0] for o in outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def joint_segsort_stats(emb, pix_lab, own_idx, pix_tags, protos,
                         proto_lab, proto_tags, proto_valid, num_valid,
-                        kappa_a, kappa_o, interpret=False):
+                        kappa_a, kappa_o, interpret=False,
+                        operand_dtype="float32"):
     """Six stats in one sweep: (own_a, same_a, diff_a) for the hard-label
     loss at kappa_a and (own_o, same_o, diff_o) for the tag loss at
     kappa_o.
@@ -812,25 +854,28 @@ def joint_segsort_stats(emb, pix_lab, own_idx, pix_tags, protos,
     """
     return _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos,
                            proto_lab, proto_tags, proto_valid, num_valid,
-                           kappa_a, kappa_o, interpret)
+                           kappa_a, kappa_o, interpret, operand_dtype)
 
 
 def _joint_fwd(emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
                proto_tags, proto_valid, num_valid, kappa_a, kappa_o,
-               interpret):
+               interpret, operand_dtype):
     out = _joint_fwd_call(emb, pix_lab, own_idx, pix_tags, protos,
                           proto_lab, proto_tags, proto_valid, num_valid,
-                          kappa_a, kappa_o, interpret)
+                          kappa_a, kappa_o, interpret, operand_dtype)
     return out, (emb, pix_lab, own_idx, pix_tags, protos, proto_lab,
                  proto_tags, proto_valid, num_valid)
 
 
-def _joint_bwd(kappa_a, kappa_o, interpret, residuals, grads):
+def _joint_bwd(kappa_a, kappa_o, interpret, operand_dtype, residuals,
+               grads):
     (emb, pix_lab, own_idx, pix_tags, protos, proto_lab, proto_tags,
      proto_valid, num_valid) = residuals
     ga_own, ga_same, ga_diff, go_own, go_same, go_diff = grads
     n, d = emb.shape
     p = protos.shape[0]
+    dt = _op_dtype(operand_dtype)
+    emb, protos = emb.astype(dt), protos.astype(dt)
 
     ins = [num_valid, emb, pix_lab[None], own_idx[None], pix_tags[None],
            ga_own[None], ga_same[None], ga_diff[None],
@@ -895,7 +940,8 @@ def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
                        semantic_tags, prototypes, prototype_labels,
                        prototype_tags, kappa_ann, kappa_occ,
                        ann_pixel_mask, occ_pixel_mask, prototype_mask,
-                       interpret=False, reduction="mean", compact=True):
+                       interpret=False, reduction="mean", compact=True,
+                       operand_dtype="float32"):
     """(sem_ann, sem_occ) masked-mean losses in one fused sweep
     (or per-pixel [N] log-likelihood pairs with reduction="none").
 
@@ -930,7 +976,7 @@ def fused_joint_losses(embeddings, semantic_labels, own_segment_ids,
 
     stats = joint_segsort_stats(emb, lab, own, ptags, protos, plab, qtags,
                                 pvalid, num_valid, float(kappa_ann),
-                                float(kappa_occ), interpret)
+                                float(kappa_occ), interpret, operand_dtype)
     own_a, same_a, diff_a, own_o, same_o, diff_o = [s[:n0] for s in stats]
     ann = _ll_from_stats(own_a, same_a, diff_a, ann_pixel_mask, reduction)
     occ = _ll_from_stats(own_o, same_o, diff_o, occ_pixel_mask, reduction)

@@ -144,6 +144,9 @@ def make_train_step(config, emb_model=None, cls_model=None):
     use_feat_aff = (tcfg.feat_aff_loss_types != "none"
                     and config.tpu.apply_feat_aff)
     densepose = "densepose" in config.network.backbone_types
+    # fused-loss kernel operand dtype ('' = float32; bf16 measured
+    # perf-neutral on v5e — see TpuConfig.loss_operand_dtype)
+    loss_op_dtype = config.tpu.loss_operand_dtype or "float32"
     tx = None  # built lazily against the param tree
 
     def _n_groups(B):
@@ -335,7 +338,8 @@ def make_train_step(config, emb_model=None, cls_model=None):
                 all_protos, jnp.where(ann_proto_mask, all_sem, -1),
                 occ_proto_tags, tcfg.sem_ann_concentration,
                 tcfg.sem_occ_concentration, ann_pix_mask, pix_valid,
-                all_valid, reduction="none")
+                all_valid, reduction="none",
+                operand_dtype=loss_op_dtype)
             ann = _grouped_masked_mean(ann_ll, ann_pix_mask, _n_groups(B))
             occ = _grouped_masked_mean(occ_ll, pix_valid, _n_groups(B))
         else:
@@ -348,7 +352,8 @@ def make_train_step(config, emb_model=None, cls_model=None):
                         all_protos,
                         jnp.where(ann_proto_mask, all_sem, -1),
                         tcfg.sem_ann_concentration, ann_pix_mask,
-                        ann_proto_mask, reduction="none")
+                        ann_proto_mask, reduction="none",
+                        operand_dtype=loss_op_dtype)
                     ann = _grouped_masked_mean(ann_ll, ann_pix_mask,
                                                _n_groups(B))
                 else:
@@ -366,7 +371,7 @@ def make_train_step(config, emb_model=None, cls_model=None):
                         emb_flat.reshape(-1, D), occ_pix_tags, pix_own,
                         all_protos, occ_proto_tags,
                         tcfg.sem_occ_concentration, pix_valid, all_valid,
-                        reduction="none")
+                        reduction="none", operand_dtype=loss_op_dtype)
                     occ = _grouped_masked_mean(occ_ll, pix_valid,
                                                _n_groups(B))
                 else:

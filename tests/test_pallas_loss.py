@@ -290,3 +290,67 @@ def test_joint_kernel_matches_separate():
     for a, b in zip(gj, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_bf16_operands_close_to_f32_forward_and_grad():
+    """operand_dtype='bfloat16' numerics: values within ~1% of the f32
+    kernel and gradients aligned (f32 accumulation; only the operand
+    reads and the coefficient matmul inputs are rounded). This is the
+    quantified delta for the tpu.loss_operand_dtype knob."""
+    rng = np.random.RandomState(3)
+    emb, sem, own, protos, proto_sem, pmask, pvalid = _problem(
+        rng, n=256, p=64)
+    plab = jnp.where(proto_sem < 5, proto_sem, -1)
+
+    def loss_fn(dtype):
+        def f(e, p):
+            return fused.fused_segsort_loss(
+                e, sem, own, p, plab, 6.0, pmask, pvalid,
+                interpret=True, operand_dtype=dtype)
+        return f
+
+    v32, (g32_e, g32_p) = jax.value_and_grad(
+        loss_fn("float32"), argnums=(0, 1))(emb, protos)
+    v16, (g16_e, g16_p) = jax.value_and_grad(
+        loss_fn("bfloat16"), argnums=(0, 1))(emb, protos)
+    # cotangents leave the kernel in f32 regardless of operand dtype
+    assert g16_e.dtype == jnp.float32 and g16_p.dtype == jnp.float32
+    np.testing.assert_allclose(float(v16), float(v32), rtol=1.5e-2)
+
+    def cos(a, b):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(g16_e, g32_e) > 0.999
+    assert cos(g16_p, g32_p) > 0.999
+
+
+def test_bf16_operands_joint_kernel():
+    rng = np.random.RandomState(4)
+    n, p, c = 256, 64, 5
+    emb, sem, own, protos, proto_sem, pmask, pvalid = _problem(
+        rng, n=n, p=p, c=c)
+    plab = jnp.where(proto_sem < c, proto_sem, -1)
+    pix_tags = jnp.asarray(rng.rand(n, c - 1) > 0.5, jnp.int32)
+    proto_tags = jnp.asarray(rng.rand(p, c - 1) > 0.5, jnp.int32)
+
+    def loss_fn(dtype):
+        def f(e, pr):
+            ann, occ = fused.fused_joint_losses(
+                e, sem, own, pix_tags, pr, plab, proto_tags, 6.0, 12.0,
+                pmask, jnp.ones_like(pmask), pvalid, interpret=True,
+                operand_dtype=dtype)
+            return ann + occ
+        return f
+
+    v32, g32 = jax.value_and_grad(loss_fn("float32"))(emb, protos)
+    v16, g16 = jax.value_and_grad(loss_fn("bfloat16"))(emb, protos)
+    np.testing.assert_allclose(float(v16), float(v32), rtol=1.5e-2)
+    a, b = np.asarray(g16).ravel(), np.asarray(g32).ravel()
+    # kappa_occ=12 amplifies operand rounding through exp(12*cos); at
+    # this deliberately pessimistic d=16 the measured delta is cosine
+    # 0.9988 / norm ratio 1.10 (flagship d=64 averages rounding down
+    # further). Direction must stay tight; magnitude within a band.
+    assert float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))) > 0.995
+    ratio = float(np.linalg.norm(a) / np.linalg.norm(b))
+    assert 0.75 < ratio < 1.3
