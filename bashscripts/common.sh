@@ -48,6 +48,7 @@ render_config () {
     -e "s/IMG_SIM_LOSS_WEIGHT/${IMG_SIM_LOSS_WEIGHT}/g" \
     -e "s/FEAT_AFF_LOSS_WEIGHT/${FEAT_AFF_LOSS_WEIGHT}/g" \
     -e "s/APPLY_FEAT_AFF/${APPLY_FEAT_AFF:-false}/g" \
+    -e "s/BN_MOMENTUM/${BN_MOMENTUM:-3e-4}/g" \
     "${template}" > "${out}"
   cat "${out}"
 }

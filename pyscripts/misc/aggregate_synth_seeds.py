@@ -52,6 +52,33 @@ def main():
 
     matched = sorted(set(ours) & set(ref))
     mean = lambda xs: round(sum(xs) / len(xs), 4) if xs else None
+
+    def welch(a, b):
+        """95% CI on mean(a) - mean(b), Welch-Satterthwaite dof."""
+        import math
+        a, b = list(a), list(b)
+        na, nb = len(a), len(b)
+        if na < 2 or nb < 2:
+            return None
+        ma, mb = sum(a) / na, sum(b) / nb
+        va = sum((x - ma) ** 2 for x in a) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+        se = math.sqrt(va / na + vb / nb)
+        dof = (va / na + vb / nb) ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        # two-sided 97.5% t quantile (Cornish-Fisher from the normal)
+        z = 1.959964
+        t = z + (z ** 3 + z) / (4 * dof) \
+            + (5 * z ** 5 + 16 * z ** 3 + 3 * z) / (96 * dof ** 2)
+        return {"diff_mean": round(ma - mb, 4),
+                "ours_sd": round(math.sqrt(va), 4),
+                "reference_sd": round(math.sqrt(vb), 4),
+                "n_ours": na, "n_reference": nb,
+                "se": round(se, 4), "dof": round(dof, 1),
+                "ci95_halfwidth": round(t * se, 4),
+                "ci95": [round(ma - mb - t * se, 4),
+                         round(ma - mb + t * se, 4)]}
+
     result = {
         "ours_val_miou_by_seed": {str(s): ours[s] for s in sorted(ours)},
         "reference_val_miou_by_seed": {str(s): ref[s]
@@ -61,6 +88,8 @@ def main():
         "reference_mean_matched": mean([ref[s] for s in matched]),
         "ours_mean_all": mean(list(ours.values())),
         "reference_mean_all": mean(list(ref.values())),
+        "welch_ours_minus_reference": welch(list(ours.values()),
+                                            list(ref.values())),
         "protocol": (
             "identical synthetic scribble world + flagship recipe "
             "(400 iters, from-scratch, bn momentum 0.1) per seed; ours = "

@@ -73,6 +73,9 @@ class ListDataset:
     with_tags = False
     scale_range = (0.5, 1.5)
     color_aug = False
+    # instance/test override: False forces the Python/PIL path even
+    # where the fused C++ item (native/dataio) is eligible
+    use_native = True
 
     def __init__(self, data_dir, data_list, img_mean=(0, 0, 0),
                  img_std=(1, 1, 1), size=None, random_crop=False,
@@ -108,8 +111,9 @@ class ListDataset:
         Returns None (without having consumed draws irrecoverably —
         the caller rebuilds rng) when the item can't go native."""
         from spml_tpu.data import native_io
-        if (not self.training or self.color_aug or self.size is None
-                or not self.random_crop or not self.semantic_label_paths):
+        if (not self.use_native or not self.training or self.color_aug
+                or self.size is None or not self.random_crop
+                or not self.semantic_label_paths):
             return None
         img_path = self.image_paths[idx]
         sem_path = self.semantic_label_paths[idx]
