@@ -132,6 +132,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--no-fused", action="store_true",
                     help="XLA loss instead of Pallas (CPU smoke)")
+    ap.add_argument("--apply-feat-aff", action="store_true",
+                    help="tpu.apply_feat_aff=true: the paper-semantics "
+                         "feat_aff term (default reproduces the "
+                         "reference's EFFECTIVE objective, which never "
+                         "invokes it)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from spml_tpu.config import load_config
@@ -176,7 +182,8 @@ def main():
         "test": {"image_size": SIZE, "crop_size": [SIZE, SIZE],
                  "stride": [SIZE, SIZE]},
         "tpu": {"segment_capacity": 128, "compute_dtype": "bfloat16",
-                "use_fused_loss": not args.no_fused},
+                "use_fused_loss": not args.no_fused,
+                "apply_feat_aff": args.apply_feat_aff},
         }
 
     # train coarse (reference trains 12x12 at 640 crop; our 128 crop
@@ -221,11 +228,13 @@ def main():
     present = [0, 1, 2, 3, 14]
     ious = [float(result["class_iou"][c]) for c in present]
     out = {"iters": args.iters, "train_s": round(train_s, 1),
+           "apply_feat_aff": args.apply_feat_aff,
            "present_classes": present,
            "class_iou": [round(x, 3) for x in ious],
            "val_miou_present": round(float(np.mean(ious)), 4)}
     print(json.dumps(out))
-    with open(os.path.join(ROOT, "DENSEPOSE_E2E.json"), "w") as f:
+    with open(args.out or os.path.join(ROOT, "DENSEPOSE_E2E.json"),
+              "w") as f:
         json.dump(out, f, indent=1)
 
 
