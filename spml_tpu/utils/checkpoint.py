@@ -23,8 +23,16 @@ def save(directory: str, step: int, state: Any) -> None:
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     with ocp.CheckpointManager(directory) as mgr:
+        # overwrite semantics — the reference's torch.save behavior
+        # (train.py:295-304). Orbax refuses to save over an existing
+        # step even under force=True ("will not overwrite"), so a rerun
+        # into the same snapshot dir would otherwise fail (or, if the
+        # error were swallowed, silently keep serving the previous
+        # run's weights); delete the stale step first.
+        if step in (mgr.all_steps() or []):
+            mgr.delete(step)
         mgr.save(step, args=ocp.args.StandardSave(
-            jax.device_get(state)))
+            jax.device_get(state)), force=True)
         mgr.wait_until_finished()
 
 

@@ -215,3 +215,19 @@ def test_export_cli_restores_orbax_snapshot(tmp_path):
         params, stats)
     _assert_tree_equal(merged["params"],
                        jax.device_get(state.params["embedding"]))
+
+
+def test_checkpoint_resave_same_step_overwrites(tmp_path):
+    """Reference torch.save semantics: re-saving the same step REPLACES
+    the checkpoint (orbax would otherwise skip silently and a rerun
+    into the same snapshot dir would keep serving stale weights)."""
+    from spml_tpu.utils import checkpoint
+
+    d = str(tmp_path / "ck")
+    a = {"params": {"w": jnp.full((4,), 1.0)}}
+    b = {"params": {"w": jnp.full((4,), 2.0)}}
+    checkpoint.save(d, 7, a)
+    checkpoint.save(d, 7, b)
+    got = checkpoint.restore(d, jax.tree.map(jnp.zeros_like, a))
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                  np.full((4,), 2.0))
