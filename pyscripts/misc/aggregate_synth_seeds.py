@@ -43,12 +43,28 @@ def main():
     ap.add_argument("--ref", action="append",
                     default=["/tmp/SYNTH_REF_s*.json"])
     ap.add_argument("--out", default="SYNTH_SEEDS.json")
+    ap.add_argument("--carry-previous", action="store_true",
+                    help="keep seeds recorded in the existing "
+                         "SYNTH_SEEDS.json that this batch didn't "
+                         "re-run")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     ours = _load(args.ours, os.path.join(root, "SYNTH_E2E.json"))
     ref = _load(args.ref, os.path.join(root, "SYNTH_E2E_REF.json"))
+
+    # carry seeds from the existing artifact that this batch didn't
+    # re-run (valid across rounds while the measured code paths'
+    # numerics are unchanged; each value is a finished-run fact)
+    prev_path = os.path.join(root, "SYNTH_SEEDS.json")
+    if args.carry_previous and os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        for k, v in prev.get("ours_val_miou_by_seed", {}).items():
+            ours.setdefault(int(k), v)
+        for k, v in prev.get("reference_val_miou_by_seed", {}).items():
+            ref.setdefault(int(k), v)
 
     matched = sorted(set(ours) & set(ref))
     mean = lambda xs: round(sum(xs) / len(xs), 4) if xs else None
@@ -96,9 +112,11 @@ def main():
             "full spml_tpu pipeline on one TPU chip "
             "(pyscripts/misc/synthetic_e2e.py), reference = the torch "
             "code under /root/reference run on CPU "
-            "(pyscripts/misc/synthetic_e2e_reference.py). 400-iter tiny-"
-            "world runs are noisy (per-seed spread ~0.2 mIoU on both "
-            "sides); means and matched-seed pairs are the signal."),
+            "(pyscripts/misc/synthetic_e2e_reference.py). Seeds vary "
+            "init/shuffle/augmentation only; the two implementations "
+            "draw independent inits, so runs are independent (seed "
+            "labels do NOT pair) and the comparison is the Welch CI on "
+            "the difference of mean val mIoU."),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
