@@ -66,7 +66,9 @@ def _stage_label(argv_tail):
         label += ":" + "/".join(m.group(1).rstrip("/").split("/")[-2:])
     m = re.search(r"--pred_dir (\S+)", argv_tail)
     if m:
-        label += ":" + "/".join(m.group(1).rstrip("/").split("/")[-3:-1])
+        # keep the snapshot component too (.../stage1/results/val) so
+        # benchmark rows over different snapshots stay distinguishable
+        label += ":" + "/".join(m.group(1).rstrip("/").split("/")[-4:-1])
     m = re.search(r"--snapshot_dir (\S+)", argv_tail)
     if m and "train" in label:
         label += ":" + os.path.basename(m.group(1).rstrip("/"))
@@ -148,9 +150,11 @@ def run_pipeline(kind, world, snap, iters, cls_iters, log_dir,
              re.findall(r"mean IOU: *([0-9.]+)%", stdout)]
 
     stages = _parse_timing(timing_log)
-    # fold benchmark mIoUs onto the benchmark stages in order
+    # fold benchmark mIoUs onto the benchmark stages in order; BOTH
+    # benchmark_by_mIoU and benchmark_by_instance print exactly one
+    # "mean IOU:" line each, so fold over both kinds to stay aligned
     bench_stages = [s for s in stages
-                    if s["stage"].startswith("benchmark_by_mIoU")]
+                    if s["stage"].startswith("benchmark_by_")]
     for st, miou in zip(bench_stages, mious):
         st["mean_iou"] = miou
 

@@ -1,0 +1,104 @@
+"""Extract the self-training-chain evidence from PIPELINE_DRILL.json
+into SYNTH_SELFTRAIN.json (v2).
+
+The drill runs the ACTUAL bash pipelines (train_spml_scribble.sh /
+train_spml_tag.sh — reference surface:
+/root/reference/bashscripts/voc12/train_spml_tag.sh:241-243,
+/root/reference/pyscripts/train/train_classifier.py:99-116) at
+flagship shapes on a 200-image VOC-shaped world, benchmarking every
+stage. The chain question (VERDICT round-2 item 3): does SPML's
+distillation IMPROVE a model end-to-end — classifier_stage1 (trained
+on stage-1 pseudo labels) vs the stage-1 KNN readout, and
+classifier_stage2 vs classifier_stage1?
+
+Round-2 context: on the 48-image toy world the stage-2 classifier LOST
+to stage-1 KNN (0.52 -> 0.36) because the memory bank WAS the train
+split — KNN on its own train split is an oracle the classifier cannot
+beat. The 200-image drill world with a held-out 40-image val split is
+the fair arena.
+
+Usage: python pyscripts/misc/selftrain_from_drill.py \
+           [--drill PIPELINE_DRILL.json] [--out SYNTH_SELFTRAIN.json]
+"""
+
+import argparse
+import json
+import os
+
+
+# benchmark stage -> chain role, keyed by (snapshot, result kind)
+def _role(label):
+    # label looks like "benchmark_by_mIoU:snap_tag/stage1/results/val"
+    # or (pre-label-fix) "benchmark_by_mIoU:results/val"; use suffixes.
+    tail = label.split(":", 1)[-1]
+    if tail.endswith("results/val") or tail.endswith("results/val_softmax"):
+        parts = tail.split("/")
+        snap = parts[-3] if len(parts) >= 3 else "?"
+        kind = "softmax" if tail.endswith("val_softmax") else "knn"
+        if snap.startswith("softmax_classifier"):
+            kind = "classifier"
+        return f"{snap}:{kind}:val"
+    if "pseudo_labels" in tail:
+        parts = tail.split("/")
+        snap = parts[-3] if len(parts) >= 3 else "?"
+        return f"{snap}:pseudo:{parts[-1]}"
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    ap.add_argument("--drill",
+                    default=os.path.join(root, "PIPELINE_DRILL.json"))
+    ap.add_argument("--out",
+                    default=os.path.join(root, "SYNTH_SELFTRAIN.json"))
+    args = ap.parse_args()
+
+    with open(args.drill) as f:
+        drill = json.load(f)
+
+    out = {"world": drill.get("world"),
+           "config": drill.get("config"),
+           "source": "PIPELINE_DRILL.json (the ACTUAL bash pipelines "
+                     "at flagship shapes; benchmark_by_mIoU on the "
+                     "held-out val split)",
+           "pipelines": {}}
+    for p in drill.get("pipelines", []):
+        rows = {}
+        for st in p.get("stages", []):
+            if "mean_iou" not in st or \
+                    not st["stage"].startswith("benchmark_by_mIoU"):
+                continue
+            role = _role(st["stage"])
+            key = role if role else st["stage"]
+            rows[key] = st["mean_iou"]
+        chain = {}
+        # val-split rows in pipeline order tell the chain story
+        val_rows = [(k, v) for k, v in rows.items() if k.endswith(":val")]
+        for k, v in val_rows:
+            chain[k] = v
+        gains = {}
+        stage1_knn = next((v for k, v in val_rows
+                           if k.startswith("stage1:knn")), None)
+        cls1 = next((v for k, v in val_rows
+                     if k.startswith("softmax_classifier_stage1")), None)
+        cls2 = next((v for k, v in val_rows
+                     if k.startswith("softmax_classifier_stage2")), None)
+        if stage1_knn is not None and cls1 is not None:
+            gains["classifier_stage1_minus_stage1_knn"] = round(
+                cls1 - stage1_knn, 4)
+        if cls1 is not None and cls2 is not None:
+            gains["classifier_stage2_minus_classifier_stage1"] = round(
+                cls2 - cls1, 4)
+        out["pipelines"][p["pipeline"]] = {
+            "val_chain": chain, "gains": gains,
+            "all_benchmarks": rows}
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
