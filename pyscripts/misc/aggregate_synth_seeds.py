@@ -38,16 +38,20 @@ def _load(patterns, fallback):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ours", action="append",
-                    default=["/tmp/SYNTH_E2E_s*.json"])
-    ap.add_argument("--ref", action="append",
-                    default=["/tmp/SYNTH_REF_s*.json"])
+    # NOTE: argparse appends onto a non-None default, so the defaults
+    # are applied after parsing — an explicit --ours/--ref REPLACES them
+    ap.add_argument("--ours", action="append", default=None)
+    ap.add_argument("--ref", action="append", default=None)
     ap.add_argument("--out", default="SYNTH_SEEDS.json")
     ap.add_argument("--carry-previous", action="store_true",
                     help="keep seeds recorded in the existing "
                          "SYNTH_SEEDS.json that this batch didn't "
                          "re-run")
     args = ap.parse_args()
+    if args.ours is None:
+        args.ours = ["/tmp/SYNTH_E2E_s*.json"]
+    if args.ref is None:
+        args.ref = ["/tmp/SYNTH_REF_s*.json"]
 
     root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
