@@ -328,6 +328,16 @@ def run_softmax_inference(args, config, msc=False, crf=False,
                 sink.submit(_tail, probs, image0, base, oh, ow)
 
 
+# per-process cache of compiled stride-8 affinity programs, keyed on
+# the model/params identity and the exact (h, w): rebuilding the jit
+# wrapper per image defeats jax's compile cache entirely (each image
+# re-traced + re-compiled the whole R101 forward — observed ~49 s/image
+# over the tunnel in the round-3 pipeline drill vs ~seconds warm). The
+# unique-(h, w) count is bounded by the dataset's size spread (VOC: ~10
+# dominant shapes), so the cache stays small.
+_AFF8_CACHE = {}
+
+
 def _stride8_affinity(config, emb_model, evars, image):
     """Flip-AVERAGED pixel affinity at the stride-8 grid
     (pseudo_camrw_crf.py:139-155: per flip, embed -> downsample /8 ->
@@ -338,23 +348,28 @@ def _stride8_affinity(config, emb_model, evars, image):
     h, w = image.shape[:2]
     img_pad = transforms.resize_with_pad(image, config.test.crop_size, 0.0)
 
-    @jax.jit
-    def aff8(x):
-        def embed8(v, flip):
-            v = v[:, :, ::-1] if flip else v
-            emb, _ = emb_model.apply(evars, v, train=False,
-                                     resize_as_input=True)
-            emb = emb.astype(jnp.float32)[0]
-            if flip:
-                emb = emb[:, ::-1]
-            emb = emb[:h, :w]
-            emb8 = resize_bilinear(emb[None], (h // 8, w // 8))[0]
-            return common.normalize_embedding(emb8).reshape(
-                -1, emb8.shape[-1])
+    key = (id(emb_model), id(evars), h, w, tuple(config.test.crop_size))
+    aff8 = _AFF8_CACHE.get(key)
+    if aff8 is None:
+        @jax.jit
+        def aff8(x):
+            def embed8(v, flip):
+                v = v[:, :, ::-1] if flip else v
+                emb, _ = emb_model.apply(evars, v, train=False,
+                                         resize_as_input=True)
+                emb = emb.astype(jnp.float32)[0]
+                if flip:
+                    emb = emb[:, ::-1]
+                emb = emb[:h, :w]
+                emb8 = resize_bilinear(emb[None], (h // 8, w // 8))[0]
+                return common.normalize_embedding(emb8).reshape(
+                    -1, emb8.shape[-1])
 
-        aff = (randomwalk.pixel_affinity(embed8(x, False))
-               + randomwalk.pixel_affinity(embed8(x, True))) * 0.5
-        return aff
+            aff = (randomwalk.pixel_affinity(embed8(x, False))
+                   + randomwalk.pixel_affinity(embed8(x, True))) * 0.5
+            return aff
+
+        _AFF8_CACHE[key] = aff8
 
     return aff8(jnp.asarray(img_pad[None]))
 
