@@ -54,31 +54,33 @@ def main():
     cfg_path = os.path.join(os.path.dirname(args.snap),
                             "config_emb.yaml")
     config = load_config(cfg_path)
-    mark("config + imports")
+    cli.enable_compilation_cache(config)
+    mark("config + imports + compilation cache")
 
     # --- build_eval_models, phase by phase (mirrors cli.py) ---
-    from spml_tpu.models.embeddings import ClassifierHead, \
-        build_embedding_model
+    from spml_tpu.models.embeddings import (INIT_SAMPLE_HW,
+                                            ClassifierHead,
+                                            build_embedding_model,
+                                            host_init)
+    import numpy as _np
     dtype = (jnp.bfloat16 if config.tpu.compute_dtype == "bfloat16"
              else jnp.float32)
     emb_model = build_embedding_model(config.network.backbone_types,
                                       config.network.embedding_dim,
                                       dtype=dtype)
-    crop = tuple(config.test.crop_size)
-    sample = jnp.zeros((1, crop[0], crop[1], 3))
-    evars = emb_model.init(jax.random.PRNGKey(0), sample, train=False)
-    jax.block_until_ready(evars)
-    mark("emb_model.init on default device")
+    ih, iw = INIT_SAMPLE_HW
+    evars = host_init(emb_model, jax.random.PRNGKey(0),
+                      _np.zeros((1, ih, iw, 3), _np.float32))
+    mark("emb_model host_init (CPU backend, jitted)")
 
     cls_model = ClassifierHead(
         num_classes=config.dataset.num_classes,
         hidden_dim=config.network.embedding_dim * 2, dtype=dtype)
-    cvars = cls_model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, crop[0] // 4, crop[1] // 4,
-                   config.network.embedding_dim)), train=False)
-    jax.block_until_ready(cvars)
-    mark("cls_model.init")
+    cvars = host_init(
+        cls_model, jax.random.PRNGKey(0),
+        _np.zeros((1, ih // 4, iw // 4,
+                   config.network.embedding_dim), _np.float32))
+    mark("cls_model host_init")
 
     restored = cli._restore_any(config, args.snap, evars, cvars)
     if restored is not None:

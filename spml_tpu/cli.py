@@ -99,8 +99,8 @@ def build_eval_models(config, snapshot_dir: str, with_classifier=False):
     """Load the embedding (and optionally classifier) model variables from
     an orbax snapshot (our trainer) or a torch .pth (reference trainer).
     Returns (emb_model, emb_vars[, cls_model, cls_vars])."""
-    from spml_tpu.models.embeddings import ClassifierHead, \
-        build_embedding_model
+    from spml_tpu.models.embeddings import (
+        INIT_SAMPLE_HW, ClassifierHead, build_embedding_model, host_init)
     from spml_tpu.train import step as step_lib
 
     dtype = (jnp.bfloat16 if config.tpu.compute_dtype == "bfloat16"
@@ -108,16 +108,16 @@ def build_eval_models(config, snapshot_dir: str, with_classifier=False):
     emb_model = build_embedding_model(config.network.backbone_types,
                                       config.network.embedding_dim,
                                       dtype=dtype)
-    crop = tuple(config.test.crop_size)
-    sample = jnp.zeros((1, crop[0], crop[1], 3))
-    evars = emb_model.init(jax.random.PRNGKey(0), sample, train=False)
+    ih, iw = INIT_SAMPLE_HW
+    evars = host_init(emb_model, jax.random.PRNGKey(0),
+                      np.zeros((1, ih, iw, 3), np.float32))
     cls_model = ClassifierHead(
         num_classes=config.dataset.num_classes,
         hidden_dim=config.network.embedding_dim * 2, dtype=dtype)
-    cvars = cls_model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, crop[0] // 4, crop[1] // 4,
-                   config.network.embedding_dim)), train=False)
+    cvars = host_init(
+        cls_model, jax.random.PRNGKey(0),
+        np.zeros((1, ih // 4, iw // 4,
+                  config.network.embedding_dim), np.float32))
 
     restored = _restore_any(config, snapshot_dir, evars, cvars)
     if restored is not None:

@@ -123,8 +123,21 @@ def _maybe_resize_input(config, image, sem=None, inst=None):
 
 
 def _resize_pred_to(pred, h, w):
-    return np.asarray(common.resize_labels(
-        jnp.asarray(pred[None]), (h, w)))[0]
+    """Nearest label resize back to the original image size, on HOST.
+
+    Same index arithmetic as ops/common.py::resize_labels (torch
+    F.interpolate(nearest): src = floor(dst * in/out)) but in numpy:
+    the device version costs one fresh XLA program PER UNIQUE ORIGINAL
+    SHAPE over the tunnel (3-15 s each, STARTUP_PROBE.json) for an op
+    that is a trivial integer gather on a label map already bound for
+    the host. Exact equivalence locked by
+    tests/test_host_init.py::test_host_resize_pred_matches_device.
+    """
+    pred = np.asarray(pred)
+    ph, pw = pred.shape[-2:]
+    ys = np.floor(np.arange(h) * (ph / h)).astype(np.int64)
+    xs = np.floor(np.arange(w) * (pw / w)).astype(np.int64)
+    return pred[..., ys[:, None], xs[None, :]]
 
 
 def _load_memory(args, config):

@@ -20,10 +20,13 @@ algorithm, not architecture.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spml_tpu.models import local as local_model
 from spml_tpu.models.resnet import RESNET_DEPTHS, ResnetBackbone
@@ -110,6 +113,40 @@ class ClassifierHead(nn.Module):
         x = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                     kernel_init=torch_conv_init, name="conv2")(x)
         return x.astype(jnp.float32)
+
+
+def host_init(model: nn.Module, rng, sample, train: bool = False,
+              **kwargs):
+    """`model.init` on the host CPU backend, under jit.
+
+    Eager `.init` dispatches the whole forward op-by-op; on a tunneled
+    TPU backend that costs ~200 s for R101 at 512^2 (measured,
+    STARTUP_PROBE.json) and was ~95% of every inference stage's
+    startup. Under jit XLA dead-code-eliminates the discarded forward,
+    and the CPU backend has no tunnel round-trips, so the same init
+    runs in ~1 s. Parameter/batch-stat values depend only on the param
+    shapes (per-leaf RNG draws), never on the sample's spatial size
+    (bitwise), and match eager init to 1 ulp (jit fuses the
+    RNG->normal transform, rounding a few conv kernels differently by
+    <=6e-8) — both locked by tests/test_host_init.py. Callers pass a
+    small sample (any H,W the heads accept: >= 48 at stride 8 for
+    PSPP's 6-bin pool, divisible by 32). Returns numpy leaves
+    (uncommitted), so downstream device_put / jit inputs place them on
+    whatever device the consumer uses.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            functools.partial(model.init, train=train, **kwargs))(
+                jax.device_put(rng, cpu),
+                jax.device_put(np.asarray(sample), cpu))
+    return jax.tree.map(np.asarray, variables)
+
+
+# smallest spatial sample every head accepts (see host_init docstring);
+# param values are spatial-size independent so eval/init call sites use
+# this instead of the full crop.
+INIT_SAMPLE_HW = (96, 96)
 
 
 def build_embedding_model(backbone_types: str, embedding_dim: int,

@@ -32,10 +32,12 @@ def build_classifier(config):
 
 
 def init_classifier_state(config, rng, emb_dim) -> TrainState:
+    from spml_tpu.models.embeddings import INIT_SAMPLE_HW, host_init
+    import numpy as np
     cls_model = build_classifier(config)
-    h = config.train.crop_size[0] // 4
-    w = config.train.crop_size[1] // 4
-    cvars = cls_model.init(rng, jnp.zeros((1, h, w, emb_dim)), train=False)
+    h, w = INIT_SAMPLE_HW[0] // 4, INIT_SAMPLE_HW[1] // 4
+    cvars = host_init(cls_model, rng,
+                      np.zeros((1, h, w, emb_dim), np.float32))
     params = {"prediction": cvars["params"]}
     batch_stats = {"prediction": cvars["batch_stats"]}
     tx = optim.make_optimizer(params, config.train)

@@ -252,9 +252,10 @@ def train_classifier(args, config,
     emb_model = build_embedding_model(config.network.backbone_types,
                                       config.network.embedding_dim,
                                       dtype=dtype)
-    evars = emb_model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, crop[0], crop[1], 3)),
-                           train=False)
+    from spml_tpu.models.embeddings import INIT_SAMPLE_HW, host_init
+    ih, iw = INIT_SAMPLE_HW
+    evars = host_init(emb_model, jax.random.PRNGKey(0),
+                      np.zeros((1, ih, iw, 3), np.float32))
     pre = config.network.pretrained
     if pre and os.path.isdir(pre):
         # orbax stage-1 snapshot dir
@@ -262,10 +263,10 @@ def train_classifier(args, config,
         from spml_tpu.models.embeddings import ClassifierHead
         cls_tmp = ClassifierHead(num_classes=config.dataset.num_classes,
                                  hidden_dim=config.network.embedding_dim * 2)
-        cvars_tmp = cls_tmp.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, crop[0] // 4, crop[1] // 4,
-                       config.network.embedding_dim)), train=False)
+        cvars_tmp = host_init(
+            cls_tmp, jax.random.PRNGKey(0),
+            np.zeros((1, ih // 4, iw // 4,
+                      config.network.embedding_dim), np.float32))
         restored = _restore_any(config, pre, evars, cvars_tmp)
         if restored is not None:
             evars = restored[0]

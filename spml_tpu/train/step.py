@@ -65,11 +65,13 @@ def init_state(config, rng, sample_image) -> TrainState:
     """
     emb_model, cls_model = build_models(config)
     k1, k2, k3 = jax.random.split(rng, 3)
-    evars = emb_model.init(k1, sample_image[:1], train=False)
-    h = sample_image.shape[1] // 4
-    w = sample_image.shape[2] // 4
+    from spml_tpu.models.embeddings import INIT_SAMPLE_HW, host_init
+    import numpy as np
+    ih, iw = INIT_SAMPLE_HW
+    evars = host_init(emb_model, k1, np.zeros((1, ih, iw, 3), np.float32))
     dim = config.network.embedding_dim
-    cvars = cls_model.init(k2, jnp.zeros((1, h, w, dim)), train=False)
+    cvars = host_init(cls_model, k2,
+                      np.zeros((1, ih // 4, iw // 4, dim), np.float32))
 
     params = {"embedding": evars["params"], "prediction": cvars["params"]}
     batch_stats = {"embedding": evars["batch_stats"],
