@@ -182,6 +182,10 @@ def main():
                          "machinery itself, not a flagship measurement")
     ap.add_argument("--out",
                     default=os.path.join(ROOT, "PIPELINE_DRILL.json"))
+    ap.add_argument("--merge", action="store_true",
+                    help="keep pipelines already recorded in --out "
+                         "(a re-run pipeline kind replaces its old "
+                         "entry)")
     args = ap.parse_args()
 
     extra_env = None
@@ -216,12 +220,18 @@ def main():
         "xla_cache_warm_at_start": len(_cache_entries()) > 0,
         "pipelines": [],
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        results["pipelines"] = [p for p in prev.get("pipelines", [])]
+        results["notes"] = prev.get("notes", [])
     for kind in args.pipelines.split(","):
         print(f"=== drill: {kind} pipeline ===", flush=True)
         snap = os.path.join(args.root, f"snap_{kind}")
         r = run_pipeline(kind, world, snap, args.iters, args.cls_iters,
                          args.root, extra_env)
-        results["pipelines"].append(r)
+        results["pipelines"] = [p for p in results["pipelines"]
+                                if p.get("pipeline") != kind] + [r]
         print(json.dumps({k: v for k, v in r.items()
                           if k != "stages"}, indent=1), flush=True)
         with open(args.out, "w") as f:
