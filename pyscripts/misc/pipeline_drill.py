@@ -34,17 +34,43 @@ sys.path.insert(0, ROOT)
 CACHE_DIR = os.path.expanduser("~/.cache/spml_tpu_xla")
 
 
-def _make_shim(shim_dir, log_path):
+def _make_shim(shim_dir, log_path, reg_dir):
+    """python3 shim wrapping every stage the bash pipeline launches.
+
+    Adds (round-4, VERDICT item 3) hang-proofing:
+    - per-stage RESUME: each stage is keyed on md5(argv); a stage that
+      already completed with rc=0 (marker in reg_dir) is skipped when
+      SPML_DRILL_RESUME=1, replaying its recorded stdout so benchmark
+      "mean IOU:" lines stay in the pipeline stdout for parsing.
+    - per-stage TIMEOUT with one retry: SPML_DRILL_STAGE_TIMEOUT seconds
+      (default 7200); rc=124 triggers exactly one retry (train stages
+      resume from their own orbax snapshots where present).
+    """
     os.makedirs(shim_dir, exist_ok=True)
+    os.makedirs(reg_dir, exist_ok=True)
     real = shutil.which("python3")
     shim = os.path.join(shim_dir, "python3")
     with open(shim, "w") as f:
         f.write(f"""#!/bin/bash
+key=$(printf '%s ' "$@" | md5sum | cut -d' ' -f1)
+reg={reg_dir}
 nc() {{ ls {CACHE_DIR} 2>/dev/null | wc -l; }}
-echo "$(date +%s.%N) START $(nc) $@" >> {log_path}
-{real} "$@"
+if [ "${{SPML_DRILL_RESUME:-0}}" = "1" ] && [ -f $reg/$key.rc0 ]; then
+  echo "$(date +%s.%N) SKIP $key $@" >> {log_path}
+  cat $reg/$key.out 2>/dev/null
+  exit 0
+fi
+echo "$(date +%s.%N) START $key $(nc) $@" >> {log_path}
+set -o pipefail
+timeout ${{SPML_DRILL_STAGE_TIMEOUT:-7200}} {real} "$@" 2>&1 | tee $reg/$key.out
 rc=$?
-echo "$(date +%s.%N) END $rc:$(nc) $@" >> {log_path}
+if [ $rc -eq 124 ]; then
+  echo "$(date +%s.%N) RETRY $key $@" >> {log_path}
+  timeout ${{SPML_DRILL_STAGE_TIMEOUT:-7200}} {real} "$@" 2>&1 | tee $reg/$key.out
+  rc=$?
+fi
+echo "$(date +%s.%N) END $key $rc:$(nc) $@" >> {log_path}
+[ $rc -eq 0 ] && touch $reg/$key.rc0
 exit $rc
 """)
     os.chmod(shim, 0o755)
@@ -76,40 +102,70 @@ def _stage_label(argv_tail):
 
 
 def _parse_timing(log_path):
-    stages = []
+    """Parse the shim timing log into an ordered per-stage list.
+
+    The log persists across resume reruns: a resumed pipeline replays
+    SKIP lines for cached stages while the original run's START/END
+    pairs (with the real wall-clock) are earlier in the same file.
+    Stages are keyed on the shim's md5(argv): order of first
+    appearance, data from the last completed END (so a failed stage
+    that later succeeds reports the successful run); SKIPped stages
+    keep the original timing and are marked resumed_from_cache.
+    """
     if not os.path.exists(log_path):
-        return stages
-    starts = []
+        return []
+    order = []            # keys in first-appearance order
+    best = {}             # key -> stage dict from last END
+    skipped = set()
+    starts = {}           # key -> (ts, nc) for the open START
     with open(log_path) as f:
         for line in f:
-            parts = line.rstrip("\n").split(" ", 3)
+            parts = line.rstrip("\n").split(" ", 4)
             if len(parts) < 4:
                 continue
-            ts, kind = float(parts[0]), parts[1]
-            if kind == "START":
-                starts.append((ts, int(parts[2]), parts[3]))
-            elif kind == "END" and starts:
-                ts0, nc0, argv = starts.pop()
-                rc, nc1 = parts[2].split(":")
-                stages.append({
-                    "stage": _stage_label(argv),
+            ts, kind, key = float(parts[0]), parts[1], parts[2]
+            if key not in best and key not in starts and key not in skipped:
+                order.append(key)
+            if kind == "START" and len(parts) >= 5:
+                starts[key] = (ts, int(parts[3]))
+            elif kind == "SKIP":
+                skipped.add(key)
+            elif kind == "END" and len(parts) >= 5 and key in starts:
+                ts0, nc0 = starts.pop(key)
+                rc, nc1 = parts[3].split(":")
+                best[key] = {
+                    "stage": _stage_label(parts[4]),
                     "seconds": round(ts - ts0, 1),
                     "rc": int(rc),
                     "new_xla_compiles": int(nc1) - nc0,
-                })
-    return stages
+                }
+    out = []
+    for key in order:
+        if key not in best:
+            continue  # dangling START (killed mid-stage, never finished)
+        st = dict(best[key])
+        if key in skipped:
+            st["resumed_from_cache"] = True
+        out.append(st)
+    return out
 
 
 def run_pipeline(kind, world, snap, iters, cls_iters, log_dir,
-                 extra_env=None):
+                 extra_env=None, resume=False, stage_timeout=7200):
     timing_log = os.path.join(log_dir, f"timing_{kind}.log")
-    if os.path.exists(timing_log):
-        os.remove(timing_log)
-    shim_dir = _make_shim(os.path.join(log_dir, "shim"), timing_log)
+    reg_dir = os.path.join(log_dir, f"stage_done_{kind}")
+    if not resume:
+        if os.path.exists(timing_log):
+            os.remove(timing_log)
+        shutil.rmtree(reg_dir, ignore_errors=True)
+    shim_dir = _make_shim(os.path.join(log_dir, f"shim_{kind}"),
+                          timing_log, reg_dir)
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["PATH"] = shim_dir + os.pathsep + env.get("PATH", "")
+    env["SPML_DRILL_RESUME"] = "1" if resume else "0"
+    env["SPML_DRILL_STAGE_TIMEOUT"] = str(stage_timeout)
     lists = os.path.join(world, "lists")
     env.update({
         "DATAROOT": world,
@@ -153,12 +209,14 @@ def run_pipeline(kind, world, snap, iters, cls_iters, log_dir,
     # fold benchmark mIoUs onto the benchmark stages in order; BOTH
     # benchmark_by_mIoU and benchmark_by_instance print exactly one
     # "mean IOU:" line each, so fold over both kinds to stay aligned
+    # (resumed stages replay their recorded stdout, so the lines appear
+    # in pipeline order even on a resumed rerun)
     bench_stages = [s for s in stages
                     if s["stage"].startswith("benchmark_by_")]
     for st, miou in zip(bench_stages, mious):
         st["mean_iou"] = miou
 
-    return {
+    r = {
         "pipeline": kind,
         "rc": proc.returncode,
         "total_seconds": round(total, 1),
@@ -167,6 +225,11 @@ def run_pipeline(kind, world, snap, iters, cls_iters, log_dir,
         "benchmark_mious": mious,
         "stdout_log": out_log,
     }
+    n_resumed = sum(1 for s in stages if s.get("resumed_from_cache"))
+    if n_resumed:
+        r["resumed_stages"] = n_resumed
+        r["stage_seconds_sum"] = round(sum(s["seconds"] for s in stages), 1)
+    return r
 
 
 def main():
@@ -186,6 +249,15 @@ def main():
                     help="keep pipelines already recorded in --out "
                          "(a re-run pipeline kind replaces its old "
                          "entry)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages that already completed rc=0 in a "
+                         "previous (possibly killed) run of the same "
+                         "--root; replays their stdout and keeps their "
+                         "original timings")
+    ap.add_argument("--stage_timeout", type=int, default=7200,
+                    help="per-stage wall-clock timeout in seconds; a "
+                         "timed-out stage is retried exactly once "
+                         "(tunnel compile-service hangs)")
     args = ap.parse_args()
 
     extra_env = None
@@ -229,7 +301,8 @@ def main():
         print(f"=== drill: {kind} pipeline ===", flush=True)
         snap = os.path.join(args.root, f"snap_{kind}")
         r = run_pipeline(kind, world, snap, args.iters, args.cls_iters,
-                         args.root, extra_env)
+                         args.root, extra_env, resume=args.resume,
+                         stage_timeout=args.stage_timeout)
         results["pipelines"] = [p for p in results["pipelines"]
                                 if p.get("pipeline") != kind] + [r]
         print(json.dumps({k: v for k, v in r.items()
