@@ -141,6 +141,10 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": (round(imgs_per_sec / base, 2)
                         if base else None),
+        "vs_baseline_note": "CROSS-HARDWARE ratio: baseline is the "
+                            "reference's own torch code on CPU "
+                            "(TORCH_BASELINE.json; no GPU in this "
+                            "image), ours is one TPU v5e chip",
     }))
 
 

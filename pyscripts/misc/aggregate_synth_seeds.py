@@ -84,6 +84,15 @@ def main():
         va = sum((x - ma) ** 2 for x in a) / (na - 1)
         vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
         se = math.sqrt(va / na + vb / nb)
+        if se == 0:
+            # both sample variances 0 (all seed mIoUs identical on each
+            # side): the Welch dof is 0/0 — report the degenerate CI
+            # instead of crashing (advisor round-3)
+            return {"diff_mean": round(ma - mb, 4),
+                    "ours_sd": 0.0, "reference_sd": 0.0,
+                    "n_ours": na, "n_reference": nb,
+                    "se": 0.0, "dof": None, "ci95_halfwidth": 0.0,
+                    "ci95": [round(ma - mb, 4), round(ma - mb, 4)]}
         dof = (va / na + vb / nb) ** 2 / (
             (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
         # two-sided 97.5% t quantile (Cornish-Fisher from the normal)

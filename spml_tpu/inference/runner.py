@@ -15,6 +15,7 @@ Behavioral reference (twke18/SPML pyscripts/inference/):
 
 from __future__ import annotations
 
+import collections
 import os
 
 import jax
@@ -135,8 +136,16 @@ def _resize_pred_to(pred, h, w):
     """
     pred = np.asarray(pred)
     ph, pw = pred.shape[-2:]
-    ys = np.floor(np.arange(h) * (ph / h)).astype(np.int64)
-    xs = np.floor(np.arange(w) * (pw / w)).astype(np.int64)
+    # float32 index math to mirror the device arithmetic bit-for-bit:
+    # the device path computes floor(dst * in/out) in f32 (x64 disabled),
+    # and for commensurate shape pairs a float64 product can floor to an
+    # adjacent source row (advisor round-3 finding).
+    ys = np.floor(np.arange(h, dtype=np.float32)
+                  * np.float32(ph / h)).astype(np.int64)
+    xs = np.floor(np.arange(w, dtype=np.float32)
+                  * np.float32(pw / w)).astype(np.int64)
+    ys = np.minimum(ys, ph - 1)
+    xs = np.minimum(xs, pw - 1)
     return pred[..., ys[:, None], xs[None, :]]
 
 
@@ -341,14 +350,19 @@ def run_softmax_inference(args, config, msc=False, crf=False,
                 sink.submit(_tail, probs, image0, base, oh, ow)
 
 
-# per-process cache of compiled stride-8 affinity programs, keyed on
+# per-process LRU of compiled stride-8 affinity programs, keyed on
 # the model/params identity and the exact (h, w): rebuilding the jit
 # wrapper per image defeats jax's compile cache entirely (each image
 # re-traced + re-compiled the whole R101 forward — observed ~49 s/image
 # over the tunnel in the round-3 pipeline drill vs ~seconds warm). The
 # unique-(h, w) count is bounded by the dataset's size spread (VOC: ~10
-# dominant shapes), so the cache stays small.
-_AFF8_CACHE = {}
+# dominant shapes). Bounded (advisor round-3): each closure pins the
+# full param tree, so a long-lived process loading many snapshots must
+# evict old entries or it accumulates whole param copies. NOTE: keys
+# use id(evars) — callers must NOT mutate a params tree in place (load
+# a new snapshot into a NEW pytree), or a stale program would be served.
+_AFF8_CACHE = collections.OrderedDict()
+_AFF8_CACHE_MAX = 64
 
 
 def _stride8_affinity(config, emb_model, evars, image):
@@ -363,7 +377,9 @@ def _stride8_affinity(config, emb_model, evars, image):
 
     key = (id(emb_model), id(evars), h, w, tuple(config.test.crop_size))
     aff8 = _AFF8_CACHE.get(key)
-    if aff8 is None:
+    if aff8 is not None:
+        _AFF8_CACHE.move_to_end(key)
+    else:
         @jax.jit
         def aff8(x):
             def embed8(v, flip):
@@ -383,6 +399,8 @@ def _stride8_affinity(config, emb_model, evars, image):
             return aff
 
         _AFF8_CACHE[key] = aff8
+        while len(_AFF8_CACHE) > _AFF8_CACHE_MAX:
+            _AFF8_CACHE.popitem(last=False)
 
     return aff8(jnp.asarray(img_pad[None]))
 

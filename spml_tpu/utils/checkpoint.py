@@ -12,6 +12,7 @@ typo noted in SURVEY.md §5).
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any
 
 import jax
@@ -23,17 +24,32 @@ def save(directory: str, step: int, state: Any) -> None:
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     with ocp.CheckpointManager(directory) as mgr:
-        # overwrite semantics — the reference's torch.save behavior
-        # (train.py:295-304). Orbax refuses to save over an existing
-        # step even under force=True ("will not overwrite"), so a rerun
-        # into the same snapshot dir would otherwise fail (or, if the
-        # error were swallowed, silently keep serving the previous
-        # run's weights); delete the stale step first.
-        if step in (mgr.all_steps() or []):
-            mgr.delete(step)
-        mgr.save(step, args=ocp.args.StandardSave(
+        exists = step in (mgr.all_steps() or [])
+        if not exists:
+            mgr.save(step, args=ocp.args.StandardSave(
+                jax.device_get(state)), force=True)
+            mgr.wait_until_finished()
+            return
+    # Overwrite semantics — the reference's torch.save behavior
+    # (train.py:295-304). Orbax refuses to save over an existing step
+    # even under force=True, so the stale step must be deleted first —
+    # but deleting BEFORE the new save completes would leave a crash/OOM
+    # window where the only copy of this step is gone (advisor round-3).
+    # Stage the new save in a sibling tmp root on the same filesystem,
+    # and only swap it in once fully written; the unprotected window
+    # shrinks to the delete+rename pair, and even a crash inside it
+    # leaves the complete new checkpoint at <tmp_root>/<step>.
+    tmp_root = directory + ".resave_tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    with ocp.CheckpointManager(tmp_root) as tmp_mgr:
+        tmp_mgr.save(step, args=ocp.args.StandardSave(
             jax.device_get(state)), force=True)
-        mgr.wait_until_finished()
+        tmp_mgr.wait_until_finished()
+    with ocp.CheckpointManager(directory) as mgr:
+        mgr.delete(step)
+    os.rename(os.path.join(tmp_root, str(step)),
+              os.path.join(directory, str(step)))
+    shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 def latest_step(directory: str) -> int | None:

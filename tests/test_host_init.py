@@ -69,13 +69,26 @@ def test_host_resize_pred_matches_device():
     from spml_tpu.inference.runner import _resize_pred_to
     from spml_tpu.ops import common
     rng = np.random.RandomState(0)
-    for (ph, pw), (oh, ow) in [((128, 128), (375, 500)),
-                               ((96, 128), (500, 333)),
-                               ((64, 64), (41, 77)),
-                               ((32, 48), (32, 48))]:
+    # dense sweep incl. commensurate pairs (gcd > 1, products exactly on
+    # integers): the host index math must be float32 like the device's,
+    # or adjacent-row floors diverge (advisor round-3 finding)
+    shape_pairs = [((128, 128), (375, 500)),
+                   ((96, 128), (500, 333)),
+                   ((64, 64), (41, 77)),
+                   ((32, 48), (32, 48)),
+                   ((96, 96), (480, 480)),     # 5x exact
+                   ((128, 128), (512, 512)),   # 4x exact
+                   ((96, 64), (288, 512)),     # 3x / 8x exact
+                   ((128, 96), (384, 160)),    # 3x / commensurate 96->160
+                   ((100, 100), (250, 750)),   # 2.5x / 7.5x
+                   ((48, 48), (60, 84))]       # 1.25x / 1.75x
+    shape_pairs += [((rng.randint(16, 129), rng.randint(16, 129)),
+                     (rng.randint(30, 520), rng.randint(30, 520)))
+                    for _ in range(20)]
+    for (ph, pw), (oh, ow) in shape_pairs:
         pred = rng.randint(0, 21, (ph, pw)).astype(np.int32)
         host = _resize_pred_to(pred, oh, ow)
         dev = np.asarray(common.resize_labels(jnp.asarray(pred[None]),
                                               (oh, ow)))[0]
-        np.testing.assert_array_equal(host, dev)
+        np.testing.assert_array_equal(host, dev, err_msg=f"{(ph,pw,oh,ow)}")
         assert host.dtype == pred.dtype
