@@ -73,7 +73,12 @@ def main():
                   "img_sim_loss_weight": 0.1},
         "tpu": {"segment_capacity": 256, "compute_dtype": "bfloat16",
                 "use_fused_loss": fused,
-                "remat_backbone": "--remat" in sys.argv},
+                "remat_backbone": "--remat" in sys.argv,
+                # e.g. --remat-stages 4,5 — selective stage remat
+                "remat_stages": tuple(
+                    int(x) for x in sys.argv[
+                        sys.argv.index("--remat-stages") + 1].split(","))
+                if "--remat-stages" in sys.argv else ()},
     })
 
     enable_compilation_cache(cfg)

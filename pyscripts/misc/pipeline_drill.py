@@ -179,12 +179,17 @@ def run_pipeline(kind, world, snap, iters, cls_iters, log_dir,
         "CLS_MAX_ITERATION": str(cls_iters),
         # flagship shapes stay at the bash defaults: crop 512, batch 4,
         # ResNet-101, dim 64, kmeans 6x6x10, memory bank 2, MSC 512
+        # (densepose: crop 512, pspnet dim 32, 24x24 inference k-means,
+        # MSC 640 — train_spml_point.sh defaults)
     })
     if extra_env:
         env.update(extra_env)
     if kind == "scribble":
         env["TRAIN_DATA_LIST"] = os.path.join(lists, "scribble.txt")
         script = "bashscripts/voc12/train_spml_scribble.sh"
+    elif kind == "densepose":
+        env["TRAIN_DATA_LIST"] = os.path.join(lists, "train_points.txt")
+        script = "bashscripts/densepose/train_spml_point.sh"
     else:
         env["TRAIN_DATA_LIST"] = os.path.join(lists, "seam.txt")
         env["CAM_DIR"] = os.path.join(world, "VOC2012", "cam", "seam")
@@ -260,9 +265,10 @@ def main():
                          "(tunnel compile-service hangs)")
     args = ap.parse_args()
 
-    extra_env = None
-    if args.smoke:
-        extra_env = {
+    def smoke_env(kind):
+        if not args.smoke:
+            return None
+        e = {
             "SPML_TPU_PLATFORM": "cpu",
             "BACKBONE_TYPES": "panoptic_deeplab_10",
             "EMBEDDING_DIM": "8", "CROP_SIZE": "64", "BATCH_SIZE": "2",
@@ -271,13 +277,25 @@ def main():
             "INFERENCE_CROP_SIZE_H": "128",
             "INFERENCE_CROP_SIZE_W": "128", "INFERENCE_STRIDE": "128",
         }
+        if kind == "densepose":
+            e["BACKBONE_TYPES"] = "panoptic_pspnet_10_densepose"
+        return e
 
     from pyscripts.misc.make_drill_world import make_world
+    from pyscripts.misc.make_densepose_drill_world import (
+        make_world as make_dp_world)
 
+    kinds = args.pipelines.split(",")
     world = os.path.join(args.root, "VOCdevkit")
-    if not os.path.isdir(os.path.join(world, "VOC2012", "JPEGImages")):
+    if any(k != "densepose" for k in kinds) and not os.path.isdir(
+            os.path.join(world, "VOC2012", "JPEGImages")):
         print("building drill world ...", flush=True)
         make_world(world, args.n_train, args.n_val)
+    dp_world = os.path.join(args.root, "densepose_world")
+    if "densepose" in kinds and not os.path.isdir(
+            os.path.join(dp_world, "images")):
+        print("building densepose drill world ...", flush=True)
+        make_dp_world(dp_world, args.n_train, args.n_val)
 
     results = {
         "world": {"n_train": args.n_train, "n_val": args.n_val,
@@ -292,16 +310,24 @@ def main():
         "xla_cache_warm_at_start": len(_cache_entries()) > 0,
         "pipelines": [],
     }
+    if "densepose" in kinds:
+        results["densepose_world"] = {
+            "n_train": args.n_train, "n_val": args.n_val, "classes": 15,
+            "config": "crop 512, pspnet_101_densepose dim 32, batch 4, "
+                      "24x24 inference k-means, MSC 640 "
+                      "(train_spml_point.sh defaults)",
+            "generator": "pyscripts/misc/make_densepose_drill_world.py"}
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
             prev = json.load(f)
         results["pipelines"] = [p for p in prev.get("pipelines", [])]
         results["notes"] = prev.get("notes", [])
-    for kind in args.pipelines.split(","):
+    for kind in kinds:
         print(f"=== drill: {kind} pipeline ===", flush=True)
         snap = os.path.join(args.root, f"snap_{kind}")
-        r = run_pipeline(kind, world, snap, args.iters, args.cls_iters,
-                         args.root, extra_env, resume=args.resume,
+        r = run_pipeline(kind, dp_world if kind == "densepose" else world,
+                         snap, args.iters, args.cls_iters,
+                         args.root, smoke_env(kind), resume=args.resume,
                          stage_timeout=args.stage_timeout)
         results["pipelines"] = [p for p in results["pipelines"]
                                 if p.get("pipeline") != kind] + [r]

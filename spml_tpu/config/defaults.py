@@ -187,6 +187,10 @@ class TpuConfig:
     # during backward (models/resnet.py::Stage.remat). The memory lever
     # for larger batch/crop; measured throughput effect in PERF.md.
     remat_backbone: bool = False
+    # selective variant: remat ONLY these backbone stages (e.g. [4] or
+    # [4, 5] for the bandwidth-heavy dilated stages); overrides
+    # remat_backbone when non-empty. Measured effect in PERF.md.
+    remat_stages: tuple = ()
 
 
 @dataclass

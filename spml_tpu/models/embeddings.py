@@ -51,8 +51,10 @@ class EmbeddingModel(nn.Module):
     # raise (e.g. 0.9) when training from random initialization or the
     # eval-mode running stats lag the train-mode batch stats badly
     bn_momentum: float = 1.0 - 3e-4
-    # per-residual-block rematerialization (see resnet.Stage.remat)
-    remat: bool = False
+    # per-residual-block rematerialization: bool (all stages) or a
+    # (res2, res3, res4, res5) tuple for selective stage remat
+    # (see resnet.ResnetBackbone.remat)
+    remat: Any = False
 
     @nn.compact
     def __call__(self, images, train: bool = False,
@@ -163,6 +165,11 @@ def build_embedding_model(backbone_types: str, embedding_dim: int,
         "panoptic_pspnet_50": dict(depth=50, head="pspp"),
         "panoptic_pspnet_101_densepose": dict(
             depth=101, head="pspp", use_color=True, norm_color=True,
+            smooth_ksize=5),
+        # debug/tests: tiny pspnet densepose variant (same head + color
+        # LFN wiring as the 101, depth-10 backbone) for CPU smoke runs
+        "panoptic_pspnet_10_densepose": dict(
+            depth=10, head="pspp", use_color=True, norm_color=True,
             smooth_ksize=5),
     }
     if backbone_types not in table:

@@ -143,22 +143,31 @@ class ResnetBackbone(nn.Module):
     dilations: Sequence[int] = (1, 1, 2, 4)
     dtype: Any = jnp.float32
     bn_momentum: float = BN_MOMENTUM
-    remat: bool = False
+    # bool (all stages) or a (res2, res3, res4, res5) tuple of bools:
+    # selective remat targets only the bandwidth-heavy stages (res4's
+    # 1024-ch activations are 67 MB each at batch 8 — PERF.md roofline)
+    # without paying recompute for the cheap early stages.
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Stem(name="stem", dtype=self.dtype,
                  bn_momentum=self.bn_momentum)(x, train)
-        kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum,
-                  remat=self.remat)
+        rm = (tuple(self.remat) if isinstance(self.remat, (tuple, list))
+              else (bool(self.remat),) * 4)
+        kw = dict(dtype=self.dtype, bn_momentum=self.bn_momentum)
         res2 = Stage(64, self.blocks[0], self.strides[0],
-                     self.dilations[0], name="res2", **kw)(x, train)
+                     self.dilations[0], name="res2", remat=rm[0],
+                     **kw)(x, train)
         res3 = Stage(128, self.blocks[1], self.strides[1],
-                     self.dilations[1], name="res3", **kw)(res2, train)
+                     self.dilations[1], name="res3", remat=rm[1],
+                     **kw)(res2, train)
         res4 = Stage(256, self.blocks[2], self.strides[2],
-                     self.dilations[2], name="res4", **kw)(res3, train)
+                     self.dilations[2], name="res4", remat=rm[2],
+                     **kw)(res3, train)
         res5 = Stage(512, self.blocks[3], self.strides[3],
-                     self.dilations[3], name="res5", **kw)(res4, train)
+                     self.dilations[3], name="res5", remat=rm[3],
+                     **kw)(res4, train)
         return res2, res3, res4, res5
 
 

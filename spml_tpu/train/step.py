@@ -47,7 +47,10 @@ def build_models(config):
     emb_model = build_embedding_model(
         config.network.backbone_types, config.network.embedding_dim,
         dtype=dtype, bn_momentum=1.0 - config.network.bn_momentum,
-        remat=config.tpu.remat_backbone)
+        remat=(tuple(i in tuple(config.tpu.remat_stages)
+                     for i in (2, 3, 4, 5))
+               if tuple(config.tpu.remat_stages)
+               else config.tpu.remat_backbone))
     cls_model = ClassifierHead(num_classes=config.dataset.num_classes,
                                hidden_dim=config.network.embedding_dim * 2,
                                dropout_rate=0.75, dtype=dtype)
