@@ -397,3 +397,32 @@ def test_remat_backbone_identical_step():
     assert m0 == m1
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_stages_exactness():
+    """Selective stage remat (tpu.remat_stages) is pure recompute: the
+    stepped state must match the no-remat step up to reduction
+    reassociation (XLA may reorder the recomputed sums).
+    """
+    rng = np.random.RandomState(7)
+    img = jnp.zeros((2, 32, 32, 3))
+    data = _batch(rng, 2, 32)
+
+    cfg = _tiny_config()
+    state0 = step_lib.init_state(cfg, jax.random.PRNGKey(0), img)
+    s_ref, m_ref = jax.jit(step_lib.make_train_step(cfg))(state0, data)
+
+    cfg_r = _tiny_config()
+    cfg_r.tpu.remat_stages = (4, 5)
+    state0r = step_lib.init_state(cfg_r, jax.random.PRNGKey(0), img)
+    s_rm, m_rm = jax.jit(step_lib.make_train_step(cfg_r))(state0r, data)
+
+    assert np.allclose(float(m_ref["loss"]), float(m_rm["loss"]),
+                       rtol=1e-5), (m_ref["loss"], m_rm["loss"])
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+            jax.tree_util.tree_leaves_with_path(s_rm.params)):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=str(p1))
