@@ -124,6 +124,8 @@ def _parse_timing(log_path):
             if len(parts) < 4:
                 continue
             ts, kind, key = float(parts[0]), parts[1], parts[2]
+            if len(key) != 32:  # md5 argv key; skips pre-resume-format
+                continue        # lines from a stale round-3 log
             if key not in best and key not in starts and key not in skipped:
                 order.append(key)
             if kind == "START" and len(parts) >= 5:
