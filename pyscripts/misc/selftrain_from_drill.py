@@ -53,6 +53,14 @@ def main():
                     default=os.path.join(root, "PIPELINE_DRILL.json"))
     ap.add_argument("--out",
                     default=os.path.join(root, "SYNTH_SELFTRAIN.json"))
+    ap.add_argument("--note", action="append", default=[],
+                    metavar="PIPELINE=TEXT",
+                    help="root-cause note recorded under the named "
+                         "pipeline's entry (repeatable)")
+    ap.add_argument("--merge", action="store_true",
+                    help="keep every key already in --out (e.g. the v3 "
+                         "chains_by_scale analysis) and only add/replace "
+                         "the per-pipeline entries extracted here")
     args = ap.parse_args()
 
     with open(args.drill) as f:
@@ -64,6 +72,12 @@ def main():
                      "at flagship shapes; benchmark_by_mIoU on the "
                      "held-out val split)",
            "pipelines": {}}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        prev.setdefault("pipelines", {})
+        prev["world"] = prev.get("world") or out["world"]
+        out = prev
     for p in drill.get("pipelines", []):
         rows = {}
         for st in p.get("stages", []):
@@ -91,9 +105,13 @@ def main():
         if cls1 is not None and cls2 is not None:
             gains["classifier_stage2_minus_classifier_stage1"] = round(
                 cls2 - cls1, 4)
-        out["pipelines"][p["pipeline"]] = {
-            "val_chain": chain, "gains": gains,
-            "all_benchmarks": rows}
+        entry = {"val_chain": chain, "gains": gains,
+                 "all_benchmarks": rows}
+        notes = [n.split("=", 1)[1] for n in args.note
+                 if n.split("=", 1)[0] == p["pipeline"]]
+        if notes:
+            entry["notes"] = notes
+        out["pipelines"][p["pipeline"]] = entry
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
