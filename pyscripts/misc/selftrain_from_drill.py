@@ -29,19 +29,19 @@ import os
 # benchmark stage -> chain role, keyed by (snapshot, result kind)
 def _role(label):
     # label looks like "benchmark_by_mIoU:snap_tag/stage1/results/val"
-    # or (pre-label-fix) "benchmark_by_mIoU:results/val"; use suffixes.
+    # (the inference split is pipeline-specific: val, minival2014, ...);
+    # normalize every held-out-split row to the ":val" role suffix.
     tail = label.split(":", 1)[-1]
-    if tail.endswith("results/val") or tail.endswith("results/val_softmax"):
-        parts = tail.split("/")
+    parts = tail.split("/")
+    if "pseudo_labels" in tail:
         snap = parts[-3] if len(parts) >= 3 else "?"
-        kind = "softmax" if tail.endswith("val_softmax") else "knn"
+        return f"{snap}:pseudo:{parts[-1]}"
+    if len(parts) >= 3 and parts[-2] == "results":
+        snap = parts[-3]
+        kind = "softmax" if parts[-1].endswith("_softmax") else "knn"
         if snap.startswith("softmax_classifier"):
             kind = "classifier"
         return f"{snap}:{kind}:val"
-    if "pseudo_labels" in tail:
-        parts = tail.split("/")
-        snap = parts[-3] if len(parts) >= 3 else "?"
-        return f"{snap}:pseudo:{parts[-1]}"
     return None
 
 
