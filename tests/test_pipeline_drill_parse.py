@@ -7,6 +7,7 @@ folding over only the mIoU stages misaligns every value after the first
 instance benchmark (the round-3 bug this test locks).
 """
 
+import hashlib
 import importlib.util
 import os
 import re
@@ -30,10 +31,12 @@ def test_timing_parse_and_miou_fold(tmp_path):
     t = 1000.0
 
     def stage(argv, secs, nc0, nc1):
+        # current shim format (resume-capable): ts KIND md5(argv) ...
         nonlocal t
-        lines.append(f"{t:.9f} START {nc0} {argv}")
+        key = hashlib.md5(argv.encode()).hexdigest()
+        lines.append(f"{t:.9f} START {key} {nc0} {argv}")
         t += secs
-        lines.append(f"{t:.9f} END 0:{nc1} {argv}")
+        lines.append(f"{t:.9f} END {key} 0:{nc1} {argv}")
 
     stage("pyscripts/train/train.py --snapshot_dir /s/stage1", 60.0, 0, 4)
     stage("pyscripts/benchmark/benchmark_by_mIoU.py "
@@ -69,3 +72,16 @@ def test_timing_parse_and_miou_fold(tmp_path):
     assert by_label["benchmark_by_mIoU:stage1/results/val"] == 0.5
     assert by_label["benchmark_by_instance:stage1/results/val"] == 0.4
     assert by_label["benchmark_by_mIoU:cls_stage1/results/val"] == 0.6
+
+    # resume replay: a rerun appends SKIP lines for cached stages; the
+    # parser must keep the ORIGINAL timing and mark them resumed
+    argv0 = "pyscripts/train/train.py --snapshot_dir /s/stage1"
+    key0 = hashlib.md5(argv0.encode()).hexdigest()
+    with open(log) as f:
+        contents = f.read()
+    (log).write_text(contents + f"{t:.9f} SKIP {key0} {argv0}\n")
+    stages2 = pd._parse_timing(str(log))
+    assert [s["stage"] for s in stages2] == [s["stage"] for s in stages]
+    assert stages2[0]["seconds"] == 60.0
+    assert stages2[0]["resumed_from_cache"] is True
+    assert "resumed_from_cache" not in stages2[1]
