@@ -20,12 +20,60 @@ for the compacted loss kernels; see COMPACTION_BENCH.json).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import fcntl
 import json
 import os
 import sys
 import time
 
 import numpy as np
+
+BENCH_LOCK = "/tmp/spml_bench.lock"
+
+
+def _progress(msg):
+    """Stage lines on stderr so an rc=124 timeout leaves a diagnosable
+    tail (round-4 lesson: BENCH_r04 timed out with an empty tail)."""
+    print(f"bench[{time.strftime('%H:%M:%S')}]: {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _acquire_bench_lock():
+    """Exclusive host lock vs background queues (contention trap: any
+    concurrent CPU/TPU batch job slows tunnel round-trips ~25x and can
+    push the driver's bench past its timeout — see CLAUDE.md).
+
+    Queue scripts hold this same lock via `flock /tmp/spml_bench.lock`
+    and record themselves in /tmp/spml_bench.lock.holder. If the lock is
+    busy we report the holder, wait up to 10 min with progress lines,
+    then proceed anyway with a loud contention marker (a contended
+    number beats no number)."""
+    f = open(BENCH_LOCK, "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        _progress("bench lock acquired (no contention)")
+        return f, False
+    except OSError:
+        holder = "unknown"
+        try:
+            with open(BENCH_LOCK + ".holder") as h:
+                holder = h.read().strip()
+        except OSError:
+            pass
+        _progress(f"bench lock BUSY (holder: {holder}); waiting up to "
+                  f"10 min for the background job to finish")
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                _progress("bench lock acquired after wait")
+                return f, False
+            except OSError:
+                _progress(f"still waiting for lock (holder: {holder})")
+                time.sleep(15)
+        _progress("CONTENTION: lock still held — benching anyway; "
+                  "numbers may be depressed ~25x on tunnel stages")
+        return f, True
 
 
 def _baseline_imgs_per_sec():
@@ -38,6 +86,9 @@ def _baseline_imgs_per_sec():
 
 
 def main():
+    lock_file, contended = _acquire_bench_lock()
+    _progress("importing jax / initializing backend (tunnel init can "
+              "take minutes during an outage — see CLAUDE.md)")
     import jax
     import jax.numpy as jnp
 
@@ -114,6 +165,8 @@ def main():
         b = lp.make_batches(1)[0]
         data = {k: jnp.asarray(v) for k, v in b.items()}
 
+    _progress(f"backend up: {jax.devices()[0].platform}; "
+              f"building state (batch {b_global}, crop {crop})")
     state = step_lib.init_state(cfg, jax.random.PRNGKey(0),
                                 jnp.zeros((b_global, crop, crop, 3)))
     state = mesh_lib.device_put_replicated(state, mesh)
@@ -122,9 +175,12 @@ def main():
         step_lib.make_train_step(cfg), mesh)
 
     # warmup (compile + 2 steps)
+    _progress("compiling + warmup (first compile ~20-40s cached, "
+              "minutes cold)")
     for _ in range(3):
         state, metrics = train_step(state, data)
     jax.block_until_ready(metrics)
+    _progress("warmup done; measuring")
     assert np.isfinite(float(metrics["loss"])), "non-finite loss"
     nseg = int(metrics["num_segments"])
     cap = b_global * cfg.tpu.segment_capacity
@@ -140,7 +196,7 @@ def main():
 
     imgs_per_sec = b_global * iters / dt / n_dev
     base = _baseline_imgs_per_sec()
-    print(json.dumps({
+    out = {
         "metric": "spml_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec/chip",
@@ -150,7 +206,11 @@ def main():
                             "reference's own torch code on CPU "
                             "(TORCH_BASELINE.json; no GPU in this "
                             "image), ours is one TPU v5e chip",
-    }))
+    }
+    if contended:
+        out["contended"] = True
+    print(json.dumps(out))
+    lock_file.close()
 
 
 if __name__ == "__main__":
