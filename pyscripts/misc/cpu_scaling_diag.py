@@ -120,13 +120,31 @@ def main():
                 "rep_spread_ms": [round(x, 1) for x in sorted(rep_ms)],
                 "compile_s": round(compile_s, 1)}
 
+    mesh_devs = []
+    for x in args.mesh_devs.split(","):
+        if not x:
+            continue
+        n = int(x)
+        # locals are measured at per-device batches 16/8/4/2 only; an n
+        # that doesn't divide 16 (or n=16 -> batch-1 local, unmeasured)
+        # would KeyError or silently attribute against the wrong batch
+        if 16 % n != 0 or 16 // n not in (16, 8, 4, 2):
+            ap.error(f"--mesh-devs {n}: need 16 % n == 0 and a "
+                     f"measured local row at batch 16//n "
+                     f"(valid: 1,2,4,8)")
+        mesh_devs.append(n)
+
     locals_ = {}
+    locals_reused = False
     diag_path = os.path.join(ROOT, "SCALING_DIAG.json")
     if args.reuse_locals and os.path.exists(diag_path):
         with open(diag_path) as f:
             for r in json.load(f)["local_rows"]:
                 locals_[r["per_device_batch"]] = r
-        print(f"reusing local_rows from {diag_path}", flush=True)
+        locals_reused = True
+        print(f"reusing local_rows from {diag_path} — attribution is "
+              f"NOT same-session (cross-session drift 30-40%)",
+              flush=True)
     for b in (16, 8, 4, 2):
         if b in locals_:
             continue
@@ -171,7 +189,7 @@ def main():
         "predicted_serialized_ms": locals_[16]["step_ms"],
         "n_x_local": "identity: T_local(batch 16) is the 1-dev row",
         "gspmd_tax_ms": 0.0, "gspmd_tax_frac": 0.0}]
-    for n in (int(x) for x in args.mesh_devs.split(",") if x):
+    for n in mesh_devs:
         row = {"devices": n, "mesh": f"(data={n})",
                "imgs_per_device": 16 // n, **measure_mesh(n)}
         mesh_rows.append(row)
@@ -189,7 +207,12 @@ def main():
         print(json.dumps(attribution[-1]), flush=True)
 
     out = {"crop": crop,
-           "protocol": (f"SAME-SESSION single-device steps at "
+           "locals_reused": locals_reused,
+           "protocol": ((f"LOCALS REUSED FROM A PRIOR SESSION "
+                         f"(--reuse-locals): attribution mixes "
+                         f"sessions and inherits 30-40% drift. "
+                         if locals_reused else "") +
+                        f"SAME-SESSION single-device steps at "
                         f"per-device batches 16/8/4/2 (median of "
                         f"{args.reps} reps) + n-device mesh rows at "
                         f"global 16 (median of {min(args.reps, 3)}), "

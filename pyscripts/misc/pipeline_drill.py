@@ -299,19 +299,25 @@ def main():
         print("building densepose drill world ...", flush=True)
         make_dp_world(dp_world, args.n_train, args.n_val)
 
+    # header blocks must describe THIS run's pipelines only (round-4
+    # verdict: DENSEPOSE_DRILL.json shipped with the scribble drill's
+    # world/config as its header because these were unconditional)
     results = {
-        "world": {"n_train": args.n_train, "n_val": args.n_val,
-                  "classes": 21, "aspect_spread": "VOC (max side 500)",
-                  "generator": "pyscripts/misc/make_drill_world.py"},
-        "config": {"crop": 512, "batch": 4,
-                   "backbone": "panoptic_deeplab_101 (from scratch, "
-                               "bn momentum 0.1 — no CUHK weights in "
-                               "this image)",
-                   "embedding_dim": 64, "train_iters": args.iters,
-                   "classifier_iters": args.cls_iters},
         "xla_cache_warm_at_start": len(_cache_entries()) > 0,
         "pipelines": [],
     }
+    if any(k != "densepose" for k in kinds):
+        results["world"] = {
+            "n_train": args.n_train, "n_val": args.n_val,
+            "classes": 21, "aspect_spread": "VOC (max side 500)",
+            "generator": "pyscripts/misc/make_drill_world.py"}
+        results["config"] = {
+            "crop": 512, "batch": 4,
+            "backbone": "panoptic_deeplab_101 (from scratch, "
+                        "bn momentum 0.1 — no CUHK weights in "
+                        "this image)",
+            "embedding_dim": 64, "train_iters": args.iters,
+            "classifier_iters": args.cls_iters}
     if "densepose" in kinds:
         results["densepose_world"] = {
             "n_train": args.n_train, "n_val": args.n_val, "classes": 15,
@@ -322,8 +328,12 @@ def main():
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
             prev = json.load(f)
+        # carry forward header blocks for pipelines kept from the prior
+        # file that this run doesn't re-describe
+        for key in ("world", "config", "densepose_world", "notes"):
+            if key not in results and key in prev:
+                results[key] = prev[key]
         results["pipelines"] = [p for p in prev.get("pipelines", [])]
-        results["notes"] = prev.get("notes", [])
     for kind in kinds:
         print(f"=== drill: {kind} pipeline ===", flush=True)
         snap = os.path.join(args.root, f"snap_{kind}")

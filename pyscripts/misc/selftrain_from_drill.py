@@ -26,11 +26,18 @@ import json
 import os
 
 
+# splits that are genuinely held out in the drill worlds; only these
+# may collapse onto the ":val" chain role (a results/train row must NOT
+# silently overwrite the real val entry)
+HELDOUT_SPLITS = {"val", "minival2014", "test"}
+
+
 # benchmark stage -> chain role, keyed by (snapshot, result kind)
 def _role(label):
     # label looks like "benchmark_by_mIoU:snap_tag/stage1/results/val"
     # (the inference split is pipeline-specific: val, minival2014, ...);
-    # normalize every held-out-split row to the ":val" role suffix.
+    # normalize held-out-split rows to the ":val" role suffix, key any
+    # other split (e.g. a future results/train bench) by its own name.
     tail = label.split(":", 1)[-1]
     parts = tail.split("/")
     if "pseudo_labels" in tail:
@@ -38,10 +45,14 @@ def _role(label):
         return f"{snap}:pseudo:{parts[-1]}"
     if len(parts) >= 3 and parts[-2] == "results":
         snap = parts[-3]
-        kind = "softmax" if parts[-1].endswith("_softmax") else "knn"
+        leaf = parts[-1]
+        kind = "softmax" if leaf.endswith("_softmax") else "knn"
         if snap.startswith("softmax_classifier"):
             kind = "classifier"
-        return f"{snap}:{kind}:val"
+        split = leaf[:-len("_softmax")] if leaf.endswith("_softmax") \
+            else leaf
+        role_split = "val" if split in HELDOUT_SPLITS else split
+        return f"{snap}:{kind}:{role_split}"
     return None
 
 
@@ -107,8 +118,14 @@ def main():
                 cls2 - cls1, 4)
         entry = {"val_chain": chain, "gains": gains,
                  "all_benchmarks": rows}
-        notes = [n.split("=", 1)[1] for n in args.note
-                 if n.split("=", 1)[0] == p["pipeline"]]
+        # carry forward previously recorded root-cause notes on --merge
+        # (they are evidence, not derivable from the drill), then append
+        # any new --note values
+        notes = list(out["pipelines"].get(p["pipeline"], {})
+                     .get("notes", []))
+        notes += [n.split("=", 1)[1] for n in args.note
+                  if n.split("=", 1)[0] == p["pipeline"]
+                  and n.split("=", 1)[1] not in notes]
         if notes:
             entry["notes"] = notes
         out["pipelines"][p["pipeline"]] = entry
