@@ -261,6 +261,11 @@ def main():
                          "previous (possibly killed) run of the same "
                          "--root; replays their stdout and keeps their "
                          "original timings")
+    ap.add_argument("--pretrained", default=None,
+                    help="backbone .pth for the PRETRAINED env var "
+                         "(pretrain_drill_backbone.py output); also "
+                         "switches BN_MOMENTUM to the reference's "
+                         "pretrained-stats default 3e-4")
     ap.add_argument("--stage_timeout", type=int, default=7200,
                     help="per-stage wall-clock timeout in seconds; a "
                          "timed-out stage is retried exactly once "
@@ -268,8 +273,14 @@ def main():
     args = ap.parse_args()
 
     def smoke_env(kind):
+        extra = {}
+        if args.pretrained:
+            extra["PRETRAINED"] = args.pretrained
+            # reference semantics: pretrained BN statistics -> 3e-4
+            # (resnet_deeplab.py:234-243 defaults; common.sh fallback)
+            extra["BN_MOMENTUM"] = "3e-4"
         if not args.smoke:
-            return None
+            return extra or None
         e = {
             "SPML_TPU_PLATFORM": "cpu",
             "BACKBONE_TYPES": "panoptic_deeplab_10",
@@ -281,6 +292,7 @@ def main():
         }
         if kind == "densepose":
             e["BACKBONE_TYPES"] = "panoptic_pspnet_10_densepose"
+        e.update(extra)
         return e
 
     from pyscripts.misc.make_drill_world import make_world
@@ -318,6 +330,12 @@ def main():
                         "this image)",
             "embedding_dim": 64, "train_iters": args.iters,
             "classifier_iters": args.cls_iters}
+    if args.pretrained:
+        results["pretrained_init"] = {
+            "path": args.pretrained, "bn_momentum": "3e-4",
+            "source": "pyscripts/misc/pretrain_drill_backbone.py "
+                      "(dense-CE ImageNet-pretrain proxy; see "
+                      "PRETRAIN_BACKBONE.json)"}
     if "densepose" in kinds:
         results["densepose_world"] = {
             "n_train": args.n_train, "n_val": args.n_val, "classes": 15,
