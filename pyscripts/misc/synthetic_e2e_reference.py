@@ -234,10 +234,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(ROOT,
                                                   "SYNTH_E2E_REF.json"))
+    ap.add_argument("--n_val", type=int, default=12,
+                    help="val-split size; see synthetic_e2e.py --n_val "
+                         "(train images are drawn first, so the "
+                         "trained model is unchanged)")
     args = ap.parse_args()
 
     rng = np.random.RandomState(7)  # same world as synthetic_e2e.py
-    se.make_world(args.root, rng)
+    se.make_world(args.root, rng, n_val=args.n_val)
 
     emb, pred, _cfg = build_models(args.seed)
     next_batch = make_loader(args.root, args.batch, seed=args.seed)
@@ -313,7 +317,8 @@ def main():
     denom = conf.sum(0) + conf.sum(1) - np.diag(conf)
     iou = tp / np.maximum(denom, 1)
     miou = float(iou[denom > 0].mean())
-    out = {"iters": args.iters, "train_s": round(train_s, 1),
+    out = {"iters": args.iters, "n_val": args.n_val,
+           "train_s": round(train_s, 1),
            "proto_s": round(proto_s, 1),
            "infer_s": round(infer_s, 1),
            "val_miou": round(miou, 4),
