@@ -325,9 +325,12 @@ def main():
             "generator": "pyscripts/misc/make_drill_world.py"}
         results["config"] = {
             "crop": 512, "batch": 4,
-            "backbone": "panoptic_deeplab_101 (from scratch, "
-                        "bn momentum 0.1 — no CUHK weights in "
-                        "this image)",
+            "backbone": ("panoptic_deeplab_101 (PRETRAINED synth "
+                         "backbone init, bn momentum 3e-4 — see "
+                         "pretrained_init block)" if args.pretrained
+                         else "panoptic_deeplab_101 (from scratch, "
+                              "bn momentum 0.1 — no CUHK weights in "
+                              "this image)"),
             "embedding_dim": 64, "train_iters": args.iters,
             "classifier_iters": args.cls_iters}
     if args.pretrained:
