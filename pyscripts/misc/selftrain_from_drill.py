@@ -72,6 +72,11 @@ def main():
                     help="keep every key already in --out (e.g. the v3 "
                          "chains_by_scale analysis) and only add/replace "
                          "the per-pipeline entries extracted here")
+    ap.add_argument("--key-suffix", default="",
+                    help="store pipelines under '<name><suffix>' (e.g. "
+                         "'_pretrained' for PIPELINE_DRILL_PRETRAINED "
+                         "chains, so they don't replace the "
+                         "from-scratch entries)")
     args = ap.parse_args()
 
     with open(args.drill) as f:
@@ -121,14 +126,14 @@ def main():
         # carry forward previously recorded root-cause notes on --merge
         # (they are evidence, not derivable from the drill), then append
         # any new --note values
-        notes = list(out["pipelines"].get(p["pipeline"], {})
-                     .get("notes", []))
+        key = p["pipeline"] + args.key_suffix
+        notes = list(out["pipelines"].get(key, {}).get("notes", []))
         notes += [n.split("=", 1)[1] for n in args.note
-                  if n.split("=", 1)[0] == p["pipeline"]
+                  if n.split("=", 1)[0] in (p["pipeline"], key)
                   and n.split("=", 1)[1] not in notes]
         if notes:
             entry["notes"] = notes
-        out["pipelines"][p["pipeline"]] = entry
+        out["pipelines"][key] = entry
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
