@@ -153,14 +153,16 @@ def _parse_timing(log_path):
 
 
 def run_pipeline(kind, world, snap, iters, cls_iters, log_dir,
-                 extra_env=None, resume=False, stage_timeout=7200):
-    timing_log = os.path.join(log_dir, f"timing_{kind}.log")
-    reg_dir = os.path.join(log_dir, f"stage_done_{kind}")
+                 extra_env=None, resume=False, stage_timeout=7200,
+                 run_name=None):
+    run_name = run_name or kind
+    timing_log = os.path.join(log_dir, f"timing_{run_name}.log")
+    reg_dir = os.path.join(log_dir, f"stage_done_{run_name}")
     if not resume:
         if os.path.exists(timing_log):
             os.remove(timing_log)
         shutil.rmtree(reg_dir, ignore_errors=True)
-    shim_dir = _make_shim(os.path.join(log_dir, f"shim_{kind}"),
+    shim_dir = _make_shim(os.path.join(log_dir, f"shim_{run_name}"),
                           timing_log, reg_dir)
 
     env = dict(os.environ)
@@ -197,7 +199,7 @@ def run_pipeline(kind, world, snap, iters, cls_iters, log_dir,
         env["CAM_DIR"] = os.path.join(world, "VOC2012", "cam", "seam")
         script = "bashscripts/voc12/train_spml_tag.sh"
 
-    out_log = os.path.join(log_dir, f"stdout_{kind}.log")
+    out_log = os.path.join(log_dir, f"stdout_{run_name}.log")
     t0 = time.time()
     before = _cache_entries()
     with open(out_log, "w") as f:
@@ -266,6 +268,11 @@ def main():
                          "(pretrain_drill_backbone.py output); also "
                          "switches BN_MOMENTUM to the reference's "
                          "pretrained-stats default 3e-4")
+    ap.add_argument("--snap_suffix", default="",
+                    help="suffix for snap/registry/log names (run a "
+                         "second arm of the same pipeline kind in the "
+                         "same --root without clobbering the first, "
+                         "e.g. '_pretrained')")
     ap.add_argument("--stage_timeout", type=int, default=7200,
                     help="per-stage wall-clock timeout in seconds; a "
                          "timed-out stage is retried exactly once "
@@ -356,12 +363,14 @@ def main():
                 results[key] = prev[key]
         results["pipelines"] = [p for p in prev.get("pipelines", [])]
     for kind in kinds:
-        print(f"=== drill: {kind} pipeline ===", flush=True)
-        snap = os.path.join(args.root, f"snap_{kind}")
+        run_name = kind + args.snap_suffix
+        print(f"=== drill: {run_name} pipeline ===", flush=True)
+        snap = os.path.join(args.root, f"snap_{run_name}")
         r = run_pipeline(kind, dp_world if kind == "densepose" else world,
                          snap, args.iters, args.cls_iters,
                          args.root, smoke_env(kind), resume=args.resume,
-                         stage_timeout=args.stage_timeout)
+                         stage_timeout=args.stage_timeout,
+                         run_name=run_name)
         results["pipelines"] = [p for p in results["pipelines"]
                                 if p.get("pipeline") != kind] + [r]
         print(json.dumps({k: v for k, v in r.items()
