@@ -18,6 +18,14 @@ and the cap is the teacher; if even (a) loses, the cap is the frozen
 from-scratch embedding the head consumes (train_classifier.py freezes
 the embedding model — reference train_classifier.py:99-116).
 
+OPERATIONAL NOTE (measured round 5): running all ~17 stages in ONE
+process accumulates host memory (jit caches + loader threads + frozen
+replicas per arm) — the third classifier arm OOMed at 130 GB RSS.
+Per-stage resume makes the fix trivial: re-invoke the script and it
+completes only the missing stages in a fresh process. For a fresh
+full run, prefer one invocation per teacher (--teachers gt, then
+pseudo, then softmax).
+
 All stages run the same package code paths as the bash pipeline's CLIs
 (driver.train_spml / runner.run_prototype / run_knn_inference /
 run_pseudo_softmax / run_softmax_inference / run_benchmark) at the
