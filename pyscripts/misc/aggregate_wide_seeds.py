@@ -65,10 +65,34 @@ def main():
                 "split drawn first from the fixed world rng; "
                 "synthetic_e2e.py --n_val docstring) — only the val "
                 "estimator widened 12 -> 36 images. NOT folded into "
-                "the headline Welch CI (different estimator; this "
-                "block exists so future A/B threads use the wide "
-                "protocol and converge in ~1/3 the seeds).",
+                "the headline Welch CI (different estimator).",
     }
+    # paired decomposition: the same seed's trained model is bitwise
+    # identical under both protocols, so wide-vs-narrow per-seed diffs
+    # isolate the val-ESTIMATOR noise; if per-seed sd barely shrinks,
+    # the A/B variance is MODEL-dominated (init/shuffle quality spread)
+    # and widening the split cannot buy convergence.
+    narrow = {int(k): v for k, v in
+              agg["ours_val_miou_by_seed"].items()}
+    paired = sorted(s for s in ours if s in narrow)
+    if len(paired) >= 3:
+        dif = np.array([ours[s] - narrow[s] for s in paired])
+        block["paired_wide_minus_narrow"] = {
+            str(s): round(float(ours[s] - narrow[s]), 4)
+            for s in paired}
+        block["paired_diff_sd"] = round(float(dif.std(ddof=1)), 4)
+        est_dom = (block["ours_sd_wide"] is not None
+                   and block["ours_sd_wide"] < 0.7 * narrow_sd)
+        block["verdict_item8_outcome"] = (
+            "CONFIRMED: widening the val split shrank per-seed sd"
+            if est_dom else
+            "PREMISE REFUTED (measured): per-seed sd did not shrink "
+            "(wide sd ~ narrow sd; paired wide-vs-narrow diffs are "
+            "small) — the A/B spread is dominated by MODEL variance "
+            "(400-iter runs converge to genuinely different-quality "
+            "models per seed), not val-estimator noise. More seeds "
+            "(already done: n=29/20, hw 0.047) was the only lever; "
+            "future threads should budget seeds, not val images.")
     if len(ref) >= 2:
         r = np.array([v for _, v in sorted(ref.items())], float)
         block["reference_sd_wide"] = round(float(r.std(ddof=1)), 4)
