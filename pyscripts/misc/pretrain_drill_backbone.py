@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--depth", type=int, default=101)
     ap.add_argument("--lr", type=float, default=3e-2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num_classes", type=int, default=21,
+                    help="dense-label class count of the world "
+                         "(21 scribble/tag drill world, 15 densepose)")
     ap.add_argument("--out", default=None,
                     help=".pth path (default <world>/pretrained_synth"
                          ".pth)")
@@ -77,7 +80,8 @@ def main():
     from spml_tpu.utils import torch_export
 
     cfg = load_config(overrides={
-        "dataset": {"num_classes": 21, "data_dir": args.world},
+        "dataset": {"num_classes": args.num_classes,
+                    "data_dir": args.world},
         "train": {"seed": args.seed, "batch_size": args.batch,
                   "crop_size": [args.crop, args.crop],
                   "max_iteration": args.iters, "base_lr": args.lr,
@@ -204,7 +208,8 @@ def main():
     summary = {
         "world": args.world, "iters": args.iters, "batch": args.batch,
         "crop": args.crop, "depth": args.depth, "lr": args.lr,
-        "seed": args.seed, "train_seconds": round(total, 1),
+        "seed": args.seed, "num_classes": args.num_classes,
+        "train_seconds": round(total, 1),
         "objective": "dense CE at stride 8 on GT segcls (ImageNet-"
                      "pretrain proxy; see module docstring)",
         "final": hist[-1], "history": hist,
